@@ -1,0 +1,189 @@
+"""Planar square PnP + observation extraction (L2 front-end math).
+
+TPU-native replacement for ``cv::aruco::estimatePoseSingleMarkers``
+(reference src/aruco_slam.cpp:314) and the downstream observation math of
+``ArucoSlam::getObservations`` (src/aruco_slam.cpp:325-374) and
+``ArucoSlam::CalculateCovariance`` (src/aruco_slam.cpp:437-471).
+
+Design: instead of per-marker iterative C++ PnP we use a closed-form
+homography decomposition (Zhang) for initialization followed by a
+fixed-trip-count Gauss-Newton refinement on the reprojection residual —
+fully batched with ``vmap`` so a frame's markers (and a batch of frames)
+solve in one fused XLA computation on the VPU/MXU.
+
+Corner order matches the reference's object points (aruco_slam.h:189):
+top-left, top-right, bottom-right, bottom-left on the z=0 plane,
+coordinates (∓L/2, ±L/2, 0).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from aruco_slam_tpu.ops import geometry
+from aruco_slam_tpu.ops.camera import (
+    CameraIntrinsics,
+    pixels_to_normalized,
+    project_points,
+    transform_points,
+)
+
+Array = jax.Array
+
+
+def marker_object_points(marker_length, dtype=jnp.float32) -> Array:
+    """Canonical square corners [4, 3]: TL, TR, BR, BL (aruco_slam.h:189)."""
+    h = marker_length / 2.0
+    return jnp.asarray(
+        [[-h, h, 0.0], [h, h, 0.0], [h, -h, 0.0], [-h, -h, 0.0]], dtype=dtype
+    )
+
+
+class PnPResult(NamedTuple):
+    rvec: Array  # [..., 3] axis-angle, object -> camera
+    tvec: Array  # [..., 3] object origin in camera frame
+    rms_px: Array  # [...] mean-squared pixel reprojection error (see note)
+
+
+def _homography_init(corners_norm: Array, obj_xy: Array):
+    """Pose init by homography decomposition.
+
+    ``corners_norm [..., 4, 2]`` undistorted normalized image points,
+    ``obj_xy [4, 2]`` planar object coords. Returns (R, t).
+    """
+    H = geometry.homography_from_4pts(
+        jnp.broadcast_to(obj_xy, corners_norm.shape), corners_norm
+    )
+    h1, h2, h3 = H[..., :, 0], H[..., :, 1], H[..., :, 2]
+    n1 = jnp.linalg.norm(h1, axis=-1, keepdims=True)
+    n2 = jnp.linalg.norm(h2, axis=-1, keepdims=True)
+    lam = 2.0 / (n1 + n2)
+    r1 = h1 * lam
+    r2 = h2 * lam
+    t = h3 * lam
+    # The marker must sit in front of the camera.
+    flip = jnp.where(t[..., 2:3] < 0, -1.0, 1.0)
+    r1, r2, t = r1 * flip, r2 * flip, t * flip
+    r3 = jnp.cross(r1, r2)
+    R_approx = jnp.stack([r1, r2, r3], axis=-1)
+    # Project onto SO(3): R = U V^T with det correction.
+    u, _, vt = jnp.linalg.svd(R_approx)
+    det = jnp.linalg.det(u @ vt)
+    d = jnp.concatenate(
+        [jnp.ones_like(det[..., None]), jnp.ones_like(det[..., None]), det[..., None]],
+        axis=-1,
+    )
+    R = (u * d[..., None, :]) @ vt
+    return R, t
+
+
+def _gauss_newton_refine(rvec, tvec, corners_norm, obj_pts, iters: int):
+    """Refine (rvec, tvec) on normalized-coordinate reprojection residuals.
+
+    Fixed trip count, Levenberg damping with a small constant lambda; all
+    linear algebra is 6x6 so a whole frame of markers fuses into one kernel.
+    """
+
+    def residual(params):
+        rv, tv = params[:3], params[3:]
+        R = geometry.rodrigues(rv)
+        pc = obj_pts @ R.T + tv
+        proj = pc[:, :2] / pc[:, 2:3]
+        return (proj - corners_norm).reshape(-1)  # [8]
+
+    def step(params, _):
+        r = residual(params)
+        J = jax.jacfwd(residual)(params)  # [8, 6]
+        JtJ = J.T @ J + 1e-9 * jnp.eye(6, dtype=params.dtype)
+        delta = jnp.linalg.solve(JtJ, J.T @ r)
+        new = params - delta
+        # Keep the step only if it reduces the residual (cheap trust region).
+        better = jnp.sum(residual(new) ** 2) < jnp.sum(r**2)
+        return jnp.where(better, new, params), None
+
+    params0 = jnp.concatenate([rvec, tvec])
+    params, _ = jax.lax.scan(step, params0, None, length=iters)
+    return params[:3], params[3:]
+
+
+def solve_pnp_square(
+    corners_px: Array,
+    camera: CameraIntrinsics,
+    marker_length,
+    refine_iters: int = 10,
+) -> PnPResult:
+    """Estimate marker pose from its 4 pixel corners.
+
+    ``corners_px [4, 2]`` (single marker — ``vmap`` over a frame's markers).
+    Replaces ``cv::aruco::estimatePoseSingleMarkers`` for one marker.
+    """
+    dtype = corners_px.dtype
+    obj_pts = marker_object_points(marker_length, dtype=dtype)
+    corners_norm = pixels_to_normalized(corners_px, camera)
+    R0, t0 = _homography_init(corners_norm, obj_pts[:, :2])
+    rvec0 = geometry.inv_rodrigues(R0)
+    rvec, tvec = _gauss_newton_refine(
+        rvec0, t0, corners_norm, obj_pts, iters=refine_iters
+    )
+    # Mean-squared pixel reprojection error, matching the reference's
+    # "rmserror" (which is in fact the MSE — totalError/N with squared
+    # norms summed, src/aruco_slam.cpp:460-465). Preserved semantics.
+    R = geometry.rodrigues(rvec)
+    proj = project_points(transform_points(R, tvec, obj_pts), camera)
+    rms = jnp.mean(jnp.sum((proj - corners_px) ** 2, axis=-1))
+    return PnPResult(rvec=rvec, tvec=tvec, rms_px=rms)
+
+
+solve_pnp_square_batch = jax.vmap(solve_pnp_square, in_axes=(0, None, None, None))
+
+
+def observation_covariance(
+    rms_px: Array,
+    tvec: Array,
+    corners_px: Array,
+    marker_length,
+    r_x,
+    r_y,
+    r_theta,
+) -> Array:
+    """Empirical 3x3 observation covariance.
+
+    Faithful port of the heuristic in ``ArucoSlam::CalculateCovariance``
+    (src/aruco_slam.cpp:437-471): scale the mean-squared pixel error by the
+    marker's projected diagonal and its metric distance, then apply the
+    per-axis coefficients with additive floors.
+    """
+    diag = jnp.linalg.norm(corners_px[..., 0, :] - corners_px[..., 2, :], axis=-1)
+    object_error = (rms_px / diag) * (
+        jnp.linalg.norm(tvec, axis=-1) / marker_length
+    )
+    d = jnp.stack(
+        [
+            object_error * r_x + 1e-2,
+            object_error * r_y + 1e-2,
+            object_error * r_theta + 1e-3,
+        ],
+        axis=-1,
+    )
+    return d[..., :, None] * jnp.eye(3, dtype=d.dtype)
+
+
+def camera_observation_to_robot(
+    rvec: Array, tvec: Array, t_r2c_xy: Array
+) -> Array:
+    """Map a marker pose in the camera optical frame to the planar robot-frame
+    observation ``(x, y, theta)``.
+
+    Faithful to the reference's hard-coded optical->base axis convention
+    (src/aruco_slam.cpp:359-362): x = tvec_z + t_x, y = -tvec_x + t_y,
+    theta = atan2(-R02, R22); the rotation of the robot->camera extrinsic is
+    intentionally ignored (translation only), as in the reference.
+    """
+    R = geometry.rodrigues(rvec)
+    x = tvec[..., 2] + t_r2c_xy[..., 0]
+    y = -tvec[..., 0] + t_r2c_xy[..., 1]
+    theta = geometry.wrap_angle(jnp.arctan2(-R[..., 0, 2], R[..., 2, 2]))
+    return jnp.stack([x, y, theta], axis=-1)
