@@ -1,0 +1,100 @@
+"""Sequence container (L3): timestamped encoder + camera-frame streams.
+
+Replaces the reference's live ROS topics (/camera/image_raw, /encoder —
+src/aruco_slam_node.cpp:50-51,73-74) with a replayable, deterministic,
+fixed-shape container. Three levels of fidelity can be attached to the same
+timeline:
+
+- ``obs_*``     — direct (x, y, theta) marker observations (EKF-level I/O)
+- ``corners_*`` — per-marker pixel corners (PnP-level I/O)
+- ``images``    — rendered frames (full detection-pipeline I/O)
+
+Encoder cadence is regular: ``enc_per_frame`` ticks between consecutive
+frames, which keeps the replay loop a static two-level ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class Sequence:
+    """One recorded/synthesized run. All arrays are numpy on host; the runner
+    moves them to device. Shapes: F frames, E = F * enc_per_frame encoder
+    ticks, M max markers per frame."""
+
+    # Encoder stream: wheel angular velocities + dt per tick
+    enc_w: np.ndarray  # [E, 2] (wl, wr)
+    enc_dt: np.ndarray  # [E]
+    enc_per_frame: int
+
+    # Direct observation stream (always present; derived from corners when
+    # corner/image data exists)
+    obs_ids: np.ndarray  # [F, M] int32, -1 = padding
+    obs_z: np.ndarray  # [F, M, 3]
+    obs_R: np.ndarray  # [F, M, 3, 3]
+    obs_valid: np.ndarray  # [F, M] bool
+
+    # Optional corner-level stream
+    corners_px: Optional[np.ndarray] = None  # [F, M, 4, 2]
+
+    # Optional rendered images
+    images: Optional[np.ndarray] = None  # [F, H, W] grayscale uint8/float
+
+    # Ground truth
+    true_pose_frames: Optional[np.ndarray] = None  # [F, 3]
+    true_pose_enc: Optional[np.ndarray] = None  # [E, 3]
+    true_landmarks: Optional[np.ndarray] = None  # [L, 3] planar (x, y, yaw)
+    true_landmark_ids: Optional[np.ndarray] = None  # [L]
+
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def num_frames(self) -> int:
+        return self.obs_ids.shape[0]
+
+    @property
+    def max_obs(self) -> int:
+        return self.obs_ids.shape[1]
+
+    def save(self, path: str) -> None:
+        data = {}
+        for name in (
+            "enc_w", "enc_dt", "obs_ids", "obs_z", "obs_R", "obs_valid",
+            "corners_px", "images", "true_pose_frames", "true_pose_enc",
+            "true_landmarks", "true_landmark_ids",
+        ):
+            v = getattr(self, name)
+            if v is not None:
+                data[name] = v
+        data["enc_per_frame"] = np.asarray(self.enc_per_frame)
+        np.savez_compressed(path, **data)
+
+    @classmethod
+    def load(cls, path: str) -> "Sequence":
+        with np.load(path, allow_pickle=False) as f:
+            kw = {k: f[k] for k in f.files}
+        kw["enc_per_frame"] = int(kw["enc_per_frame"])
+        return cls(**kw)
+
+
+def stack_sequences(seqs: list) -> "Sequence":
+    """Stack equal-shape sequences along a new leading batch axis for
+    vmapped multi-sequence replay (BASELINE.md config 3)."""
+    ref = seqs[0]
+    out = {}
+    for name in (
+        "enc_w", "enc_dt", "obs_ids", "obs_z", "obs_R", "obs_valid",
+        "corners_px", "images", "true_pose_frames", "true_pose_enc",
+        "true_landmarks", "true_landmark_ids",
+    ):
+        vals = [getattr(s, name) for s in seqs]
+        if any(v is None for v in vals):
+            out[name] = None
+        else:
+            out[name] = np.stack(vals)
+    return Sequence(enc_per_frame=ref.enc_per_frame, **out)

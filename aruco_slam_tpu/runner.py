@@ -1,0 +1,150 @@
+"""Offline replay runner (L4): deterministic, timestamp-driven, batchable.
+
+Replaces the reference's callback-driven live loop (``ros::spin()`` at
+src/aruco_slam_node.cpp:79 with Image/Encoder callbacks) with a two-level
+``lax.scan``: outer over camera frames, inner over the encoder ticks that
+precede each frame. One ``jit`` compiles the entire replay; ``vmap`` over a
+leading batch axis gives multi-sequence replay (BASELINE.md config 3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aruco_slam_tpu.io.sequence import Sequence
+from aruco_slam_tpu.models import ekf
+from aruco_slam_tpu.ops.camera import CameraIntrinsics
+from aruco_slam_tpu.ops.frontend import observations_from_corners
+from aruco_slam_tpu.utils import metrics
+from aruco_slam_tpu.utils.config import SlamConfig
+
+Array = jax.Array
+
+
+class ReplayData(NamedTuple):
+    """Device-side replay input. F frames, epf encoder ticks per frame,
+    M marker slots per frame."""
+
+    enc_w: Array  # [F, epf, 2]
+    enc_dt: Array  # [F, epf]
+    obs_ids: Array  # [F, M]
+    obs_z: Array  # [F, M, 3] (measurement level)
+    obs_R: Array  # [F, M, 3, 3]
+    obs_valid: Array  # [F, M]
+    corners_px: Optional[Array] = None  # [F, M, 4, 2] (corner level)
+
+
+class ReplayResult(NamedTuple):
+    trajectory: Array  # [F, 3] pose after each frame's update
+    pose_cov: Array  # [F, 3, 3]
+    n_landmarks: Array  # [F]
+    final_state: ekf.EkfState
+
+
+def replay_data_from_sequence(seq: Sequence, level: str = "obs") -> ReplayData:
+    f = seq.num_frames
+    epf = seq.enc_per_frame
+    return ReplayData(
+        enc_w=jnp.asarray(seq.enc_w.reshape(f, epf, 2)),
+        enc_dt=jnp.asarray(seq.enc_dt.reshape(f, epf)),
+        obs_ids=jnp.asarray(seq.obs_ids),
+        obs_z=jnp.asarray(seq.obs_z),
+        obs_R=jnp.asarray(seq.obs_R),
+        obs_valid=jnp.asarray(seq.obs_valid),
+        corners_px=(
+            jnp.asarray(seq.corners_px) if level == "corners" else None
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "level"))
+def replay(
+    data: ReplayData,
+    config: SlamConfig,
+    camera: Optional[CameraIntrinsics] = None,
+    level: str = "obs",
+) -> ReplayResult:
+    """Run the full EKF-SLAM pipeline over one sequence."""
+    state0 = ekf.init_state(config)
+
+    def frame_step(state, xs):
+        if level == "corners":
+            ew, edt, ids, corners, valid = xs
+        else:
+            ew, edt, ids, z, R, valid = xs
+
+        def enc_step(st, e):
+            w, dt = e
+            return ekf.predict(st, ekf.Control(w[0], w[1], dt), config), None
+
+        state, _ = jax.lax.scan(enc_step, state, (ew, edt))
+
+        if level == "corners":
+            frame = observations_from_corners(ids, corners, valid, camera, config)
+        else:
+            frame = ekf.FrameObservations(ids=ids, z=z, R=R, valid=valid)
+        state = ekf.update(state, frame, config)
+        pose, cov = ekf.get_pose(state)
+        return state, (pose, cov, state.n_landmarks)
+
+    if level == "corners":
+        xs = (data.enc_w, data.enc_dt, data.obs_ids, data.corners_px, data.obs_valid)
+    else:
+        xs = (
+            data.enc_w, data.enc_dt, data.obs_ids, data.obs_z, data.obs_R,
+            data.obs_valid,
+        )
+    final_state, (traj, covs, n_lm) = jax.lax.scan(frame_step, state0, xs)
+    return ReplayResult(
+        trajectory=traj, pose_cov=covs, n_landmarks=n_lm, final_state=final_state
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "level"))
+def replay_batch(
+    data: ReplayData,
+    config: SlamConfig,
+    camera: Optional[CameraIntrinsics] = None,
+    level: str = "obs",
+) -> ReplayResult:
+    """vmapped multi-sequence replay: every field of ``data`` carries a
+    leading batch axis (io.sequence.stack_sequences)."""
+    return jax.vmap(lambda d: replay(d, config, camera, level))(data)
+
+
+def evaluate_sequence(
+    seq: Sequence,
+    config: SlamConfig,
+    camera: Optional[CameraIntrinsics] = None,
+    level: str = "obs",
+) -> dict:
+    """Replay + score against the sequence's ground truth. Host-side."""
+    data = replay_data_from_sequence(seq, level)
+    result = replay(data, config, camera, level)
+    traj = np.asarray(result.trajectory)
+    out = {"n_landmarks": int(result.final_state.n_landmarks)}
+    if seq.true_pose_frames is not None:
+        true = seq.true_pose_frames
+        out["ate"] = float(metrics.ate(jnp.asarray(traj), jnp.asarray(true)))
+        out["ate_aligned"] = float(
+            metrics.ate(jnp.asarray(traj), jnp.asarray(true), align=True)
+        )
+        t_rpe, r_rpe = metrics.rpe(jnp.asarray(traj), jnp.asarray(true))
+        out["rpe_trans"] = float(t_rpe)
+        out["rpe_rot"] = float(r_rpe)
+    if seq.true_landmarks is not None:
+        lms, ids, active = ekf.get_map(result.final_state, config)
+        rmse, n = metrics.map_error(
+            lms, ids, active,
+            jnp.asarray(seq.true_landmarks), jnp.asarray(seq.true_landmark_ids),
+        )
+        out["map_rmse"] = float(rmse)
+        out["map_matched"] = int(n)
+    out["diverged"] = int(result.final_state.diverged)
+    out["dropped"] = int(result.final_state.dropped)
+    return out
