@@ -1,0 +1,315 @@
+"""ArUco marker detection (L2) — TPU-native replacement for OpenCV's
+``cv::aruco::detectMarkers`` (reference src/aruco_slam.cpp:313).
+
+OpenCV's CPU pipeline (adaptive threshold -> contour walk -> polygon
+approximation -> warp -> Otsu -> dictionary lookup) is irregular and
+data-dependent; this is a static-shape reformulation that maps onto the
+VPU/MXU (SURVEY.md section 7.4 item 1):
+
+1. **Adaptive threshold** — windowed mean via an integral image (two
+   cumsums + 4 shifted reads, O(HW)), then ``img < mean - C``.
+2. **Connected components** — iterative 8-neighbor min-label propagation
+   with pointer-jumping (label <- label[label]) rounds; fixed trip count.
+3. **Candidate selection** — per-component pixel counts by scatter-add;
+   top-K roots by size within [min, max] bounds.
+4. **Quad corners** — per-candidate masked argmax chain: farthest point
+   from centroid (c0), farthest from c0 (c2), extremes of the cross
+   product across the diagonal (c1, c3). Exact for convex quads.
+5. **Decode** — homography from the 4 corners, bilinear sampling of the
+   7x7 cell grid (s x s points per cell), midpoint binarization, border
+   check, and a single [K, 25] x [25, 4096] Hamming matmul against all
+   rotations of all 1024 DICT_ARUCO_ORIGINAL codewords (ops.dictionary).
+   Corner order is rolled by the matched rotation so corner 0 is the
+   pattern's top-left, as OpenCV returns.
+
+Everything is jit/vmap-safe with fixed shapes: a frame in, fixed-K
+(ids, corners, valid) out — the contract ``ops.frontend`` consumes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from aruco_slam_tpu.ops import dictionary, geometry
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    max_candidates: int = 24
+    adaptive_radius: int = 7  # window = 2r+1 (OpenCV winSize 15 mid-sweep)
+    adaptive_C: float = 7.0
+    ccl_rounds: int = 16  # (min-prop + pointer-jump) rounds
+    min_component_pixels: int = 80
+    max_component_fraction: float = 0.2
+    cell_samples: int = 3
+    max_border_errors: int = 8  # 0.35 * 24, OpenCV default border rate
+    max_correction: int = 1  # OpenCV: int(maxCorrectionBits=3 * 0.6 rate)
+    min_corner_separation: float = 4.0
+    min_contrast: float = 25.0
+
+
+class Detections(NamedTuple):
+    ids: Array  # [K] int32 (-1 invalid)
+    corners: Array  # [K, 4, 2] pixel coords, corner 0 = pattern TL
+    valid: Array  # [K] bool
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: adaptive threshold
+# ---------------------------------------------------------------------------
+
+
+def adaptive_threshold(img: Array, radius: int, C: float) -> Array:
+    """Binary foreground (dark regions): img < window_mean - C.
+
+    Equivalent to OpenCV ADAPTIVE_THRESH_MEAN_C + THRESH_BINARY_INV, via an
+    integral image (edge-padded so borders use shrunken windows)."""
+    x = img.astype(jnp.float32)
+    h, w = x.shape
+    # pad with edge values so window means at borders are sane
+    p = radius
+    xp = jnp.pad(x, ((p + 1, p), (p + 1, p)), mode="edge")
+    ii = jnp.cumsum(jnp.cumsum(xp, axis=0), axis=1)
+    win = 2 * radius + 1
+    s = (
+        ii[win:, win:]
+        - ii[:-win, win:]
+        - ii[win:, :-win]
+        + ii[:-win, :-win]
+    )
+    mean = s / (win * win)
+    return x < (mean - C)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: connected-component labeling
+# ---------------------------------------------------------------------------
+
+
+def label_components(fg: Array, rounds: int) -> Array:
+    """8-connected CCL by min-label propagation + pointer jumping.
+
+    Returns flat labels [H*W]; each foreground pixel's label converges to
+    the min flat index in its component; background keeps its own index.
+    """
+    h, w = fg.shape
+    n = h * w
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    big = jnp.int32(n)  # sentinel ordering value (never a real winner)
+
+    def neighbor_min(lab):
+        lab_m = jnp.where(fg, lab, big)
+        best = lab_m
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                shifted = jnp.roll(lab_m, (dy, dx), axis=(0, 1))
+                # kill wraparound
+                if dy == -1:
+                    shifted = shifted.at[-1, :].set(big)
+                if dy == 1:
+                    shifted = shifted.at[0, :].set(big)
+                if dx == -1:
+                    shifted = shifted.at[:, -1].set(big)
+                if dx == 1:
+                    shifted = shifted.at[:, 0].set(big)
+                best = jnp.minimum(best, shifted)
+        return jnp.where(fg, jnp.minimum(lab, best), lab)
+
+    def round_fn(_, lab):
+        lab = neighbor_min(lab)
+        # pointer jump thrice: label <- label[label]
+        flat = lab.reshape(-1)
+        flat = flat[flat]
+        flat = flat[flat]
+        flat = flat[flat]
+        return flat.reshape(h, w)
+
+    labels = jax.lax.fori_loop(0, rounds, round_fn, idx)
+    return labels.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 + 4: candidates and quad corners
+# ---------------------------------------------------------------------------
+
+
+def _masked_argmax(score: Array, mask: Array) -> Array:
+    return jnp.argmax(jnp.where(mask, score, -jnp.inf))
+
+
+def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
+    """Top-K components by size -> 4 corner points each.
+
+    Returns (corners [K, 4, 2] float32, cand_valid [K])."""
+    h, w = fg.shape
+    n = h * w
+    fg_f = fg.reshape(-1)
+    counts = jnp.zeros((n,), jnp.int32).at[labels].add(fg_f.astype(jnp.int32))
+    is_root = fg_f & (labels == jnp.arange(n, dtype=jnp.int32))
+    max_pix = jnp.int32(cfg.max_component_fraction * n)
+    ok = is_root & (counts >= cfg.min_component_pixels) & (counts <= max_pix)
+    score = jnp.where(ok, counts, 0)
+    _, roots = jax.lax.top_k(score, cfg.max_candidates)
+    cand_valid = score[roots] > 0
+
+    ys = (jnp.arange(n, dtype=jnp.int32) // w).astype(jnp.float32)
+    xs = (jnp.arange(n, dtype=jnp.int32) % w).astype(jnp.float32)
+
+    def corners_for(root):
+        mask = fg_f & (labels == root)
+        m = mask.astype(jnp.float32)
+        npix = jnp.maximum(jnp.sum(m), 1.0)
+        cx = jnp.sum(xs * m) / npix
+        cy = jnp.sum(ys * m) / npix
+        d0 = (xs - cx) ** 2 + (ys - cy) ** 2
+        i0 = _masked_argmax(d0, mask)
+        p0 = jnp.stack([xs[i0], ys[i0]])
+        d1 = (xs - p0[0]) ** 2 + (ys - p0[1]) ** 2
+        i2 = _masked_argmax(d1, mask)
+        p2 = jnp.stack([xs[i2], ys[i2]])
+        ex, ey = p2[0] - p0[0], p2[1] - p0[1]
+        cross = ex * (ys - p0[1]) - ey * (xs - p0[0])
+        # Winding matters: DICT_ARUCO_ORIGINAL is *closed under vertical
+        # flips* (each row stays a codeword), so a mirrored corner order
+        # decodes to a wrong-but-valid id instead of being rejected. Corner 1
+        # must be on the negative-cross side of the p0->p2 diagonal to give
+        # positive shoelace area in image coords (x right, y down), matching
+        # the canonical (0,0),(7,0),(7,7),(0,7) decode square.
+        i1 = _masked_argmax(-cross, mask)
+        i3 = _masked_argmax(cross, mask)
+        p1 = jnp.stack([xs[i1], ys[i1]])
+        p3 = jnp.stack([xs[i3], ys[i3]])
+        return jnp.stack([p0, p1, p2, p3])
+
+    corners = jax.vmap(corners_for)(roots)
+    return corners, cand_valid
+
+
+# ---------------------------------------------------------------------------
+# Stage 5: decode
+# ---------------------------------------------------------------------------
+
+
+def _bilinear(img: Array, pts: Array) -> Array:
+    """Bilinear sample img [H, W] at pts [..., 2] (x, y)."""
+    h, w = img.shape
+    x = jnp.clip(pts[..., 0], 0.0, w - 1.001)
+    y = jnp.clip(pts[..., 1], 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    i = img.astype(jnp.float32)
+    v00 = i[y0, x0]
+    v01 = i[y0, x0 + 1]
+    v10 = i[y0 + 1, x0]
+    v11 = i[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def _border_mask_np():
+    import numpy as np
+
+    m = np.ones((7, 7), bool)
+    m[1:6, 1:6] = False
+    return m
+
+
+_BORDER_MASK_NP = _border_mask_np()
+
+
+def _border_mask():
+    return jnp.asarray(_BORDER_MASK_NP)
+
+
+def decode_candidates(img: Array, corners: Array, cfg: DetectorConfig):
+    """Sample + binarize the 7x7 cell grid for each quad and match against
+    the dictionary. Returns (ids, rolled corners, contrast, border_err,
+    dict_valid)."""
+    s = cfg.cell_samples
+    # canonical grid: x = col in [0,7], y = row in [0,7]
+    src = jnp.asarray(
+        [[0.0, 0.0], [7.0, 0.0], [7.0, 7.0], [0.0, 7.0]], jnp.float32
+    )
+    offs = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s  # per-cell samples
+
+    cell_idx = jnp.arange(7, dtype=jnp.float32)
+    gx = (cell_idx[None, :, None, None] + offs[None, None, None, :])  # cols
+    gy = (cell_idx[:, None, None, None] + offs[None, None, :, None])  # rows
+    gx = jnp.broadcast_to(gx, (7, 7, s, s)).reshape(-1)
+    gy = jnp.broadcast_to(gy, (7, 7, s, s)).reshape(-1)
+    grid = jnp.stack([gx, gy], axis=-1)  # [49*s*s, 2] canonical coords
+
+    def decode_one(quad):
+        H = geometry.homography_from_4pts(src, quad)
+        px = geometry.apply_homography(H, grid)
+        vals = _bilinear(img, px).reshape(7, 7, s * s)
+        cells = jnp.mean(vals, axis=-1)  # [7, 7]
+        lo = jnp.min(cells)
+        hi = jnp.max(cells)
+        thresh = 0.5 * (lo + hi)
+        bits = (cells > thresh).astype(jnp.float32)
+        border_err = jnp.sum(jnp.where(_border_mask(), bits, 0.0))
+        inner = bits[1:6, 1:6]
+        mid, rot, dist, ok = dictionary.match_bits(
+            inner, max_correction=cfg.max_correction
+        )
+        return mid, rot, dist, ok, border_err, hi - lo
+
+    mids, rots, dists, oks, border_errs, contrast = jax.vmap(decode_one)(corners)
+
+    # Roll corners so corner 0 is the canonical pattern's top-left:
+    # extracted = rot90(pattern, rot)  =>  canonical = roll(corners, rot).
+    def roll_corners(quad, r):
+        rolled = jnp.stack(
+            [jnp.roll(quad, shift, axis=0) for shift in range(4)]
+        )
+        return rolled[r]
+
+    corners_out = jax.vmap(roll_corners)(corners, rots)
+    return mids, corners_out, contrast, border_errs, oks
+
+
+def detect_markers(
+    img: Array, cfg: DetectorConfig = DetectorConfig()
+) -> Detections:
+    """Full detection for one grayscale frame [H, W] (uint8 or float)."""
+    fg = adaptive_threshold(img, cfg.adaptive_radius, cfg.adaptive_C)
+    labels = label_components(fg, cfg.ccl_rounds)
+    quads, cand_valid = extract_quads(labels, fg, cfg)
+    mids, corners, contrast, border_errs, dict_ok = decode_candidates(
+        img, quads, cfg
+    )
+
+    # corner sanity: all pairwise separations above threshold
+    diffs = corners[:, :, None, :] - corners[:, None, :, :]  # [K,4,4,2]
+    d2 = jnp.sum(diffs**2, axis=-1)
+    eye = jnp.eye(4, dtype=bool)
+    min_sep = jnp.min(jnp.where(eye, jnp.inf, d2), axis=(1, 2))
+    sep_ok = min_sep >= cfg.min_corner_separation**2
+
+    valid = (
+        cand_valid
+        & dict_ok
+        & (border_errs <= cfg.max_border_errors)
+        & sep_ok
+        & (contrast >= cfg.min_contrast)
+    )
+    ids = jnp.where(valid, mids, -1)
+    return Detections(ids=ids, corners=corners, valid=valid)
+
+
+detect_markers_batch = jax.vmap(detect_markers, in_axes=(0, None))

@@ -1,0 +1,109 @@
+"""Benchmark harness (L7). Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline: frames/s/chip of the full corner-level pipeline (batched 8-way
+vmapped PnP + EKF replay — BASELINE.md config 3 shape) on the default
+device. ``vs_baseline`` is measured against a single-thread dense float64
+NumPy EKF equivalent to the reference's Eigen formulation (the reference
+itself publishes no numbers — BASELINE.md), run on this host over the same
+observation stream.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_data(batch, duration, cam, level="corners"):
+    import jax.numpy as jnp
+
+    from aruco_slam_tpu import runner
+    from aruco_slam_tpu.sim import synthetic
+
+    seqs = [
+        synthetic.generate_sequence(
+            synthetic.SimParams(duration=duration, seed=s),
+            level=level,
+            camera=cam,
+        )
+        for s in range(batch)
+    ]
+    f, epf = seqs[0].num_frames, seqs[0].enc_per_frame
+    stack = lambda name: np.stack([getattr(s, name) for s in seqs])
+    data = runner.ReplayData(
+        enc_w=jnp.asarray(stack("enc_w").reshape(batch, f, epf, 2)),
+        enc_dt=jnp.asarray(stack("enc_dt").reshape(batch, f, epf)),
+        obs_ids=jnp.asarray(stack("obs_ids")),
+        obs_z=jnp.asarray(stack("obs_z")),
+        obs_R=jnp.asarray(stack("obs_R")),
+        obs_valid=jnp.asarray(stack("obs_valid")),
+        corners_px=jnp.asarray(stack("corners_px")) if level == "corners" else None,
+    )
+    return data, seqs
+
+
+def bench_tpu(data, cfg, cam, level, reps=5):
+    import jax
+
+    from aruco_slam_tpu import runner
+
+    out = runner.replay_batch(data, cfg, cam, level)  # compile + warmup
+    jax.block_until_ready(out.trajectory)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = runner.replay_batch(data, cfg, cam, level)
+        jax.block_until_ready(out.trajectory)
+    dt = (time.perf_counter() - t0) / reps
+    batch, frames = data.obs_ids.shape[:2]
+    return batch * frames / dt, out
+
+
+def bench_reference_numpy(seq, n_frames=150):
+    """Single-thread dense float64 EKF (reference-equivalent formulation)."""
+    sys.path.insert(0, "tests")
+    from reference_ekf import ReferenceEKF
+
+    ekf = ReferenceEKF()
+    epf = seq.enc_per_frame
+    enc_w = seq.enc_w.reshape(-1, epf, 2)
+    enc_dt = seq.enc_dt.reshape(-1, epf)
+    n_frames = min(n_frames, seq.num_frames)
+    t0 = time.perf_counter()
+    for f in range(n_frames):
+        for e in range(epf):
+            ekf.add_encoder(enc_w[f, e, 0], enc_w[f, e, 1], enc_dt[f, e])
+        obs = [
+            (int(seq.obs_ids[f, j]), seq.obs_z[f, j], seq.obs_R[f, j])
+            for j in range(seq.max_obs)
+            if seq.obs_valid[f, j]
+        ]
+        ekf.add_frame(obs)
+    dt = time.perf_counter() - t0
+    return n_frames / dt
+
+
+def main():
+    from aruco_slam_tpu.ops.camera import CameraIntrinsics
+    from aruco_slam_tpu.utils.config import EkfConfig, SlamConfig
+
+    cfg = SlamConfig(ekf=EkfConfig(max_landmarks=32, max_observations_per_frame=16))
+    cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
+    data, seqs = build_data(batch=8, duration=60.0, cam=cam)
+    fps, _ = bench_tpu(data, cfg, cam, "corners")
+    base_fps = bench_reference_numpy(seqs[0])
+    print(
+        json.dumps(
+            {
+                "metric": "ekf_pipeline_frames_per_sec_per_chip",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / base_fps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Detection pipeline tests: dictionary bit-exactness vs OpenCV, rendered
+frame detection vs ground truth and vs cv2.aruco (SURVEY.md section 4.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aruco_slam_tpu.ops import detector, dictionary
+from aruco_slam_tpu.ops.camera import CameraIntrinsics
+from aruco_slam_tpu.sim import renderer, synthetic
+
+CAM = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
+
+
+def test_dictionary_matches_opencv_bytes():
+    cv2 = pytest.importorskip("cv2")
+    d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_ARUCO_ORIGINAL)
+    ours = dictionary.aruco_original_bits()
+    rots = dictionary.aruco_original_rotations()
+
+    def unpack(b4):
+        bits = np.unpackbits(b4[:3].astype(np.uint8))
+        return np.concatenate([bits, [b4[3] & 1]]).reshape(5, 5)
+
+    rng = np.random.default_rng(0)
+    for mid in rng.choice(1024, size=64, replace=False):
+        np.testing.assert_array_equal(unpack(d.bytesList[mid][0]), ours[mid])
+        for r in range(4):
+            np.testing.assert_array_equal(
+                unpack(d.bytesList[mid][r]), rots[r, mid].reshape(5, 5)
+            )
+
+
+def test_match_bits_identifies_rotations():
+    # note: some ARUCO_ORIGINAL codewords are rotationally symmetric (e.g.
+    # id 1023 = all rows 01110 is 180-degree symmetric), so use asymmetric ids.
+    bits = dictionary.aruco_original_bits()
+    for mid in (0, 7, 512, 800):
+        for r in range(4):
+            rotated = np.rot90(bits[mid], r)
+            got_id, got_rot, dist, ok = dictionary.match_bits(
+                jnp.asarray(rotated)
+            )
+            assert int(got_id) == mid
+            assert int(got_rot) == r
+            assert float(dist) == 0.0
+            assert bool(ok)
+
+
+def test_match_bits_error_correction():
+    bits = dictionary.aruco_original_bits()[42].copy()
+    bits[2, 2] ^= 1  # flip one bit
+    got_id, _, dist, ok = dictionary.match_bits(jnp.asarray(bits), max_correction=1)
+    assert int(got_id) == 42 and float(dist) == 1.0 and bool(ok)
+    # two flips (min distance 2 from every codeword) must be rejected
+    bad = dictionary.aruco_original_bits()[42].copy()
+    bad[0, 1] ^= 1
+    bad[0, 3] ^= 1
+    _, _, dist, ok = dictionary.match_bits(jnp.asarray(bad), max_correction=1)
+    assert float(dist) == 2.0 and not bool(ok)
+
+
+def _render_scene(pose=(2.55, -2.0, 1.2), n_markers=20):
+    arena = synthetic.make_arena(n_markers=n_markers)
+    stack = renderer.build_marker_stack(arena)
+    cam_pos, R_wc = renderer.camera_pose_from_robot(
+        jnp.asarray(pose, jnp.float32)
+    )
+    img = renderer.render_frame(cam_pos, R_wc, stack, CAM)
+    return np.asarray(img), arena, np.asarray(cam_pos), np.asarray(R_wc)
+
+
+def _true_visible(arena, cam_pos, R_wc, max_dist=3.5):
+    """Ground-truth visible marker ids + projected corners."""
+    from aruco_slam_tpu.ops.camera import project_points
+    from aruco_slam_tpu.ops.pnp import marker_object_points
+    from aruco_slam_tpu.sim.synthetic import rpy_matrix_np
+
+    out = {}
+    for i in range(len(arena)):
+        R_wm = rpy_matrix_np(*arena.rpys[i])
+        obj = np.asarray(marker_object_points(float(arena.lengths[i])))
+        world = obj @ R_wm.T + arena.positions[i]
+        cam = (world - cam_pos) @ R_wc
+        if np.any(cam[:, 2] < 0.2):
+            continue
+        # facing check
+        n_c = R_wc.T @ (R_wm @ np.array([0, 0, 1.0]))
+        if n_c[2] > -0.3:
+            continue
+        px = np.asarray(project_points(jnp.asarray(cam, jnp.float32), CAM))
+        if px[:, 0].min() < 5 or px[:, 0].max() > 635:
+            continue
+        if px[:, 1].min() < 5 or px[:, 1].max() > 475:
+            continue
+        if np.linalg.norm(cam.mean(axis=0)) > max_dist:
+            continue
+        out[int(arena.ids[i])] = px
+    return out
+
+
+def test_detect_rendered_markers():
+    img, arena, cam_pos, R_wc = _render_scene()
+    expected = _true_visible(arena, cam_pos, R_wc)
+    assert len(expected) >= 2, "scene should contain visible markers"
+    det = jax.jit(detector.detect_markers, static_argnums=1)(
+        jnp.asarray(img), detector.DetectorConfig()
+    )
+    ids = np.asarray(det.ids)
+    valid = np.asarray(det.valid)
+    found = {int(i) for i in ids[valid]}
+    assert set(expected).issubset(found), (set(expected), found)
+    # corner accuracy: blob-extreme corners are pixel-quantized; allow 2 px
+    for k in range(len(ids)):
+        if valid[k] and int(ids[k]) in expected:
+            got = np.asarray(det.corners)[k]
+            ref = expected[int(ids[k])]
+            err = np.abs(got - ref).max()
+            assert err < 2.5, (ids[k], err, got, ref)
+
+
+def test_detect_matches_opencv_ids():
+    cv2 = pytest.importorskip("cv2")
+    img, arena, cam_pos, R_wc = _render_scene(pose=(2.0, -2.5, 2.5))
+    d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_ARUCO_ORIGINAL)
+    params = cv2.aruco.DetectorParameters()
+    cv_det = cv2.aruco.ArucoDetector(d, params)
+    cv_corners, cv_ids, _ = cv_det.detectMarkers(img)
+    cv_found = set() if cv_ids is None else {int(i) for i in cv_ids.ravel()}
+    det = detector.detect_markers(jnp.asarray(img))
+    ours = {int(i) for i in np.asarray(det.ids)[np.asarray(det.valid)]}
+    # We must find at least everything OpenCV finds on our clean renders
+    assert cv_found.issubset(ours), (cv_found, ours)
+    # and corner agreement within ~2.5 px for shared ids
+    if cv_ids is not None:
+        for c, i in zip(cv_corners, cv_ids.ravel()):
+            k = list(np.asarray(det.ids)).index(int(i))
+            err = np.abs(np.asarray(det.corners)[k] - c[0]).max()
+            assert err < 3.0, (i, err)
+
+
+def test_empty_image_no_detections():
+    img = jnp.full((240, 320), 178, jnp.uint8)
+    det = detector.detect_markers(img)
+    assert not bool(np.any(np.asarray(det.valid)))
+
+
+def test_batch_detection_shapes():
+    img, *_ = _render_scene()
+    batch = jnp.stack([jnp.asarray(img)] * 2)
+    det = detector.detect_markers_batch(batch, detector.DetectorConfig())
+    assert det.ids.shape[0] == 2
+    assert det.corners.shape == (2, detector.DetectorConfig().max_candidates, 4, 2)
+    np.testing.assert_array_equal(np.asarray(det.ids[0]), np.asarray(det.ids[1]))
