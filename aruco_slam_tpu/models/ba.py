@@ -136,56 +136,63 @@ def cost(problem: BAProblem, poses, landmarks, prior_pose) -> Array:
     return 0.5 * (c_obs + c_odo + c_pr)
 
 
-def _linearize(problem: BAProblem, poses, landmarks, damping):
-    """Build the blocks needed by the Schur-CG solve.
+def obs_linear_blocks(problem: BAProblem, poses, landmarks, K: int, L: int):
+    """Marker-factor linear blocks (the shardable part of the problem).
 
-    Note the GN sign convention: residual r = z - h, Jacobians J of h, so
-    the normal equations are (J^T W J) d = + J^T W r with the J's above.
-    Minimizing 0.5*||z - h(x + d)||_W: d(r)/dx = -J, H = J^T W J,
-    b = J^T W r.
-    """
-    K = poses.shape[0]
-    L = landmarks.shape[0]
-    (r_obs, Jp, Jl, w_obs), (r_odo, Ji, Jj, w_odo) = _residuals(
-        problem, poses, landmarks
-    )
+    Sign convention: residual r = z - h, Jacobians J of h, so the normal
+    equations are (J^T W J) d = + J^T W r.
 
-    # Per-observation weighted blocks
+    Returns (Hpp_diag_obs [K,3,3], Hll [L,3,3], Apl [N,3,3], bp_obs [K,3],
+    bl [L,3]) — everything keyed by *local* landmark indices, so a shard of
+    observations + its owned landmark block compute these independently;
+    only Hpp_diag_obs and bp_obs need a psum across shards."""
+    (r_obs, Jp, Jl, w_obs), _ = _residuals(problem, poses, landmarks)
     JpW = jnp.swapaxes(Jp, -1, -2) @ w_obs  # [N, 3, 3] = Jp^T W
     JlW = jnp.swapaxes(Jl, -1, -2) @ w_obs
-    App = JpW @ Jp  # [N, 3, 3] contribution to Hpp[kf, kf]
-    All = JlW @ Jl  # contribution to Hll[lm]
-    Apl = JpW @ Jl  # contribution to Hpl[kf, lm]
-    bp_obs = (JpW @ r_obs[..., None])[..., 0]  # [N, 3]
+    App = JpW @ Jp
+    All = JlW @ Jl
+    Apl = JpW @ Jl
+    bp_obs = (JpW @ r_obs[..., None])[..., 0]
     bl_obs = (JlW @ r_obs[..., None])[..., 0]
-
     Hpp_diag = jax.ops.segment_sum(App, problem.obs_kf, num_segments=K)
     Hll = jax.ops.segment_sum(All, problem.obs_lm, num_segments=L)
     bp = jax.ops.segment_sum(bp_obs, problem.obs_kf, num_segments=K)
     bl = jax.ops.segment_sum(bl_obs, problem.obs_lm, num_segments=L)
+    return Hpp_diag, Hll, Apl, bp, bl
 
-    # Odometry contributions to Hpp (diag + coupling) and bp
+
+def odo_linear_blocks(problem: BAProblem, poses, landmarks, K: int):
+    """Odometry/relative-pose linear blocks (replicated, cheap)."""
+    _, (r_odo, Ji, Jj, w_odo) = _residuals(problem, poses, landmarks)
     JiW = jnp.swapaxes(Ji, -1, -2) @ w_odo
     JjW = jnp.swapaxes(Jj, -1, -2) @ w_odo
-    Hpp_diag = Hpp_diag + jax.ops.segment_sum(
-        JiW @ Ji, problem.odo_i, num_segments=K
-    )
+    Hpp_diag = jax.ops.segment_sum(JiW @ Ji, problem.odo_i, num_segments=K)
     Hpp_diag = Hpp_diag + jax.ops.segment_sum(
         JjW @ Jj, problem.odo_j, num_segments=K
     )
     Hij = JiW @ Jj  # [M, 3, 3] off-diagonal block (i, j)
-    bp = bp + jax.ops.segment_sum(
+    bp = jax.ops.segment_sum(
         (JiW @ r_odo[..., None])[..., 0], problem.odo_i, num_segments=K
     )
     bp = bp + jax.ops.segment_sum(
         (JjW @ r_odo[..., None])[..., 0], problem.odo_j, num_segments=K
     )
+    return Hpp_diag, Hij, bp
+
+
+def _linearize(problem: BAProblem, poses, landmarks, damping):
+    """Build the blocks needed by the Schur-CG solve (single device)."""
+    K = poses.shape[0]
+    L = landmarks.shape[0]
+    Hpp_obs, Hll, Apl, bp_obs, bl = obs_linear_blocks(
+        problem, poses, landmarks, K, L
+    )
+    Hpp_odo, Hij, bp_odo = odo_linear_blocks(problem, poses, landmarks, K)
+    Hpp_diag = Hpp_obs + Hpp_odo
+    bp = bp_obs + bp_odo
 
     # Prior on pose 0 (gauge)
     Hpp_diag = Hpp_diag.at[0].add(problem.prior_w)
-    # prior residual is zero at the initial point only on iteration 0; use
-    # the actual residual:
-    # handled by caller passing prior_pose through `linearize_prior`
 
     # LM damping on both diagonals
     eye = jnp.eye(3, dtype=poses.dtype)

@@ -67,16 +67,21 @@ def _homography_init(corners_norm: Array, obj_xy: Array):
     # The marker must sit in front of the camera.
     flip = jnp.where(t[..., 2:3] < 0, -1.0, 1.0)
     r1, r2, t = r1 * flip, r2 * flip, t * flip
-    r3 = jnp.cross(r1, r2)
-    R_approx = jnp.stack([r1, r2, r3], axis=-1)
-    # Project onto SO(3): R = U V^T with det correction.
-    u, _, vt = jnp.linalg.svd(R_approx)
-    det = jnp.linalg.det(u @ vt)
-    d = jnp.concatenate(
-        [jnp.ones_like(det[..., None]), jnp.ones_like(det[..., None]), det[..., None]],
-        axis=-1,
+    # Orthonormalize onto SO(3). A symmetrized Gram-Schmidt (split the
+    # in-plane correction evenly between r1 and r2, as in Zhang's method)
+    # instead of an SVD polar projection: SVD lowers to a huge iterative
+    # program on TPU (slow compile + slow run) and the subsequent
+    # Gauss-Newton refinement absorbs the sub-degree difference anyway.
+    r1n = r1 / jnp.linalg.norm(r1, axis=-1, keepdims=True)
+    r2o = r2 - jnp.sum(r2 * r1n, axis=-1, keepdims=True) * 0.5 * r1n
+    r1o = r1n - jnp.sum(r1n * r2o, axis=-1, keepdims=True) * 0.5 * r2o / jnp.sum(
+        r2o * r2o, axis=-1, keepdims=True
     )
-    R = (u * d[..., None, :]) @ vt
+    r1o = r1o / jnp.linalg.norm(r1o, axis=-1, keepdims=True)
+    r2o = r2o - jnp.sum(r2o * r1o, axis=-1, keepdims=True) * r1o
+    r2o = r2o / jnp.linalg.norm(r2o, axis=-1, keepdims=True)
+    r3 = jnp.cross(r1o, r2o)
+    R = jnp.stack([r1o, r2o, r3], axis=-1)
     return R, t
 
 

@@ -1,0 +1,276 @@
+"""Distributed bundle adjustment (L6) — BASELINE.md config 5.
+
+Sharding layout (the scaling-book recipe: pick a mesh, shard the data so
+collectives ride the interconnect, let XLA insert them):
+
+- **Landmarks are block-partitioned** across the mesh axis; every shard
+  owns ``L/D`` landmark blocks.
+- **Observations live with their landmark's owner** (partitioned host-side
+  by ``partition_problem``), so the Schur elimination of each landmark —
+  its 3x3 ``Hll`` inverse, ``bl``, back-substitution — is entirely local.
+- **Keyframe poses are replicated** ([K, 3] is tiny even at 10k keyframes:
+  120 KB), as are the odometry-chain factors.
+
+Per CG iteration the only cross-device traffic is one ``psum`` of the
+[K, 3] reduced product (plus the [K, 3, 3] diagonal once per GN step) —
+exactly the "reduced camera system over psum/all-gather" reduction the
+BASELINE.json north star prescribes. Everything runs inside one
+``shard_map`` so XLA can overlap the local elimination with the collective.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from aruco_slam_tpu.models import ba
+from aruco_slam_tpu.models.ba import BAProblem
+from aruco_slam_tpu.ops import geometry
+
+Array = jax.Array
+
+AXIS = "x"
+
+
+class ShardedBAProblem(NamedTuple):
+    """Host-partitioned problem. D shards; leading axis of sharded fields
+    is the mesh axis. Ls = landmarks per shard, Ns = padded obs per shard."""
+
+    poses: Array  # [K, 3] replicated
+    landmarks: Array  # [D, Ls, 3]
+    obs_kf: Array  # [D, Ns]
+    obs_lm: Array  # [D, Ns] LOCAL landmark index within the shard
+    obs_z: Array  # [D, Ns, 3]
+    obs_w: Array  # [D, Ns, 3, 3]
+    obs_valid: Array  # [D, Ns]
+    odo_i: Array  # [M] replicated
+    odo_j: Array
+    odo_z: Array
+    odo_w: Array
+    odo_valid: Array
+    prior_w: Array  # [3, 3]
+
+
+def partition_problem(problem: BAProblem, n_shards: int) -> tuple[ShardedBAProblem, np.ndarray]:
+    """Partition landmarks into contiguous blocks and route each observation
+    to its landmark's owner. Returns (sharded, lm_perm) where lm_perm maps
+    global landmark slot -> row in the concatenated [D*Ls] output."""
+    L = problem.landmarks.shape[0]
+    Ls = -(-L // n_shards)  # ceil
+    lm_owner = np.minimum(np.arange(L) // Ls, n_shards - 1)
+    lm_local = np.arange(L) - lm_owner * Ls
+
+    obs_kf = np.asarray(problem.obs_kf)
+    obs_lm = np.asarray(problem.obs_lm)
+    obs_valid = np.asarray(problem.obs_valid)
+    owner = lm_owner[obs_lm]
+    counts = [int(np.sum((owner == d) & obs_valid)) for d in range(n_shards)]
+    Ns = max(1, max(counts))
+
+    def shard_field(arr, d, sel, fill=0):
+        out = np.full((Ns, *arr.shape[1:]), fill, dtype=arr.dtype)
+        out[: sel.sum()] = arr[sel]
+        return out
+
+    sk, sl, sz, sw, sv, lms = [], [], [], [], [], []
+    for d in range(n_shards):
+        sel = (owner == d) & obs_valid
+        sk.append(shard_field(obs_kf, d, sel))
+        sl.append(shard_field(lm_local[obs_lm].astype(np.int32), d, sel))
+        sz.append(shard_field(np.asarray(problem.obs_z), d, sel))
+        sw.append(shard_field(np.asarray(problem.obs_w), d, sel))
+        v = np.zeros(Ns, bool)
+        v[: sel.sum()] = True
+        sv.append(v)
+        block = np.zeros((Ls, 3), np.asarray(problem.landmarks).dtype)
+        lo = d * Ls
+        hi = min(L, lo + Ls)
+        if hi > lo:
+            block[: hi - lo] = np.asarray(problem.landmarks)[lo:hi]
+        lms.append(block)
+
+    sharded = ShardedBAProblem(
+        poses=jnp.asarray(problem.poses),
+        landmarks=jnp.asarray(np.stack(lms)),
+        obs_kf=jnp.asarray(np.stack(sk)),
+        obs_lm=jnp.asarray(np.stack(sl)),
+        obs_z=jnp.asarray(np.stack(sz)),
+        obs_w=jnp.asarray(np.stack(sw)),
+        obs_valid=jnp.asarray(np.stack(sv)),
+        odo_i=jnp.asarray(problem.odo_i),
+        odo_j=jnp.asarray(problem.odo_j),
+        odo_z=jnp.asarray(problem.odo_z),
+        odo_w=jnp.asarray(problem.odo_w),
+        odo_valid=jnp.asarray(problem.odo_valid),
+        prior_w=jnp.asarray(problem.prior_w),
+    )
+    lm_perm = lm_owner * Ls + lm_local  # global slot -> concat row
+    return sharded, lm_perm
+
+
+def _local_problem(s: ShardedBAProblem) -> BAProblem:
+    """View of one shard as a BAProblem keyed by local landmark indices.
+
+    Inside shard_map the sharded leading axis remains with local size 1 —
+    squeeze it."""
+    return BAProblem(
+        poses=s.poses,
+        landmarks=s.landmarks[0],
+        obs_kf=s.obs_kf[0],
+        obs_lm=s.obs_lm[0],
+        obs_z=s.obs_z[0],
+        obs_w=s.obs_w[0],
+        obs_valid=s.obs_valid[0],
+        odo_i=s.odo_i,
+        odo_j=s.odo_j,
+        odo_z=s.odo_z,
+        odo_w=s.odo_w,
+        odo_valid=s.odo_valid,
+        prior_w=s.prior_w,
+    )
+
+
+def solve_dist(
+    sharded: ShardedBAProblem,
+    mesh: Mesh,
+    iters: int = 10,
+    cg_iters: int = 50,
+    damping: float = 1e-6,
+):
+    """Distributed Schur-CG Gauss-Newton. Returns
+    (poses [K,3], landmarks [D*Ls,3], cost_history [iters+1])."""
+
+    def shard_fn(s: ShardedBAProblem):
+        local = _local_problem(s)
+        K = local.poses.shape[0]
+        Ls = local.landmarks.shape[0]
+        prior_pose = local.poses[0]
+        eye = jnp.eye(3, dtype=local.poses.dtype)
+        inv_d = 1.0 / jax.lax.psum(1.0, AXIS)
+
+        def local_cost(poses, landmarks):
+            (r_obs, _, _, w_obs), (r_odo, _, _, w_odo) = ba._residuals(
+                local._replace(poses=poses, landmarks=landmarks), poses, landmarks
+            )
+            c_obs = jnp.sum(r_obs[:, None, :] @ w_obs @ r_obs[:, :, None])
+            c_odo = jnp.sum(r_odo[:, None, :] @ w_odo @ r_odo[:, :, None])
+            r0 = poses[0] - prior_pose
+            r0 = r0.at[2].set(geometry.wrap_angle(r0[2]))
+            c_pr = r0 @ local.prior_w @ r0
+            # obs part is shard-local; odo+prior identical everywhere
+            return 0.5 * (jax.lax.psum(c_obs, AXIS) + c_odo + c_pr)
+
+        def gn_step(carry, _):
+            poses, landmarks = carry
+            prob = local._replace(poses=poses, landmarks=landmarks)
+            Hpp_obs, Hll, Apl, bp_obs, bl = ba.obs_linear_blocks(
+                prob, poses, landmarks, K, Ls
+            )
+            Hpp_obs = jax.lax.psum(Hpp_obs, AXIS)
+            bp_obs = jax.lax.psum(bp_obs, AXIS)
+            Hpp_odo, Hij, bp_odo = ba.odo_linear_blocks(prob, poses, landmarks, K)
+            Hpp_diag = Hpp_obs + Hpp_odo + damping * eye
+            Hpp_diag = Hpp_diag.at[0].add(local.prior_w)
+            Hll_inv = jnp.linalg.inv(Hll + damping * eye)
+
+            r0 = prior_pose - poses[0]
+            r0 = r0.at[2].set(geometry.wrap_angle(r0[2]))
+            bp = bp_obs + bp_odo + jnp.zeros_like(bp_obs).at[0].set(
+                local.prior_w @ r0
+            )
+
+            # reduced rhs
+            u = (Hll_inv @ bl[..., None])[..., 0]
+            back = (Apl @ u[prob.obs_lm][..., None])[..., 0]
+            bs = bp - jax.lax.psum(
+                jax.ops.segment_sum(back, prob.obs_kf, num_segments=K), AXIS
+            )
+
+            Minv = jnp.linalg.inv(Hpp_diag)
+
+            def matvec(v):
+                out = (Hpp_diag @ v[..., None])[..., 0]
+                vi = v[prob.odo_j]
+                out = out + jax.ops.segment_sum(
+                    (Hij @ vi[..., None])[..., 0], prob.odo_i, num_segments=K
+                )
+                vj = v[prob.odo_i]
+                out = out + jax.ops.segment_sum(
+                    (jnp.swapaxes(Hij, -1, -2) @ vj[..., None])[..., 0],
+                    prob.odo_j, num_segments=K,
+                )
+                t = (jnp.swapaxes(Apl, -1, -2) @ v[prob.obs_kf][..., None])[..., 0]
+                t_lm = jax.ops.segment_sum(t, prob.obs_lm, num_segments=Ls)
+                u2 = (Hll_inv @ t_lm[..., None])[..., 0]
+                back2 = (Apl @ u2[prob.obs_lm][..., None])[..., 0]
+                out = out - jax.lax.psum(
+                    jax.ops.segment_sum(back2, prob.obs_kf, num_segments=K), AXIS
+                )
+                return out
+
+            def precond(r):
+                return (Minv @ r[..., None])[..., 0]
+
+            x0 = jnp.zeros_like(bs)
+            z0 = precond(bs)
+
+            def cg_body(c, _):
+                x, r, z, p, rz = c
+                Sp = matvec(p)
+                denom = jnp.sum(p * Sp)
+                alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+                x = x + alpha * p
+                r = r - alpha * Sp
+                z = precond(r)
+                rz_new = jnp.sum(r * z)
+                beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+                p = z + beta * p
+                return (x, r, z, p, rz_new), None
+
+            (dp, *_), _ = jax.lax.scan(
+                cg_body, (x0, bs, z0, z0, jnp.sum(bs * z0)), None,
+                length=cg_iters,
+            )
+
+            # local landmark back-substitution
+            t = (jnp.swapaxes(Apl, -1, -2) @ dp[prob.obs_kf][..., None])[..., 0]
+            t_lm = jax.ops.segment_sum(t, prob.obs_lm, num_segments=Ls)
+            dl = (Hll_inv @ (bl - t_lm)[..., None])[..., 0]
+
+            poses = poses + dp
+            poses = poses.at[:, 2].set(geometry.wrap_angle(poses[:, 2]))
+            landmarks = landmarks + dl
+            landmarks = landmarks.at[:, 2].set(
+                geometry.wrap_angle(landmarks[:, 2])
+            )
+            return (poses, landmarks), local_cost(poses, landmarks)
+
+        c0 = local_cost(local.poses, local.landmarks)
+        (poses, landmarks), costs = jax.lax.scan(
+            gn_step, (local.poses, local.landmarks), None, length=iters
+        )
+        history = jnp.concatenate([c0[None], costs])
+        return poses, landmarks, history
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                ShardedBAProblem(
+                    poses=P(), landmarks=P(AXIS), obs_kf=P(AXIS),
+                    obs_lm=P(AXIS), obs_z=P(AXIS), obs_w=P(AXIS),
+                    obs_valid=P(AXIS), odo_i=P(), odo_j=P(), odo_z=P(),
+                    odo_w=P(), odo_valid=P(), prior_w=P(),
+                ),
+            ),
+            out_specs=(P(), P(AXIS), P()),
+        )
+    )
+    poses, landmarks, history = fn(sharded)
+    return poses, landmarks.reshape(-1, 3), history
