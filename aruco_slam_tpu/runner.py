@@ -19,6 +19,7 @@ import numpy as np
 from aruco_slam_tpu.io.sequence import Sequence
 from aruco_slam_tpu.models import ekf
 from aruco_slam_tpu.ops.camera import CameraIntrinsics
+from aruco_slam_tpu.ops.detector import DetectorConfig, detect_markers
 from aruco_slam_tpu.ops.frontend import observations_from_corners
 from aruco_slam_tpu.utils import metrics
 from aruco_slam_tpu.utils.config import SlamConfig
@@ -37,6 +38,7 @@ class ReplayData(NamedTuple):
     obs_R: Array  # [F, M, 3, 3]
     obs_valid: Array  # [F, M]
     corners_px: Optional[Array] = None  # [F, M, 4, 2] (corner level)
+    images: Optional[Array] = None  # [F, H, W] (image level)
 
 
 class ReplayResult(NamedTuple):
@@ -59,22 +61,29 @@ def replay_data_from_sequence(seq: Sequence, level: str = "obs") -> ReplayData:
         corners_px=(
             jnp.asarray(seq.corners_px) if level == "corners" else None
         ),
+        images=(jnp.asarray(seq.images) if level == "images" else None),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "level"))
+@functools.partial(jax.jit, static_argnames=("config", "level", "det_cfg"))
 def replay(
     data: ReplayData,
     config: SlamConfig,
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
+    det_cfg: DetectorConfig = DetectorConfig(),
 ) -> ReplayResult:
-    """Run the full EKF-SLAM pipeline over one sequence."""
+    """Run the full SLAM pipeline over one sequence.
+
+    level: "obs" (measurement stream), "corners" (PnP front-end), or
+    "images" (full detection + PnP front-end per frame)."""
     state0 = ekf.init_state(config)
 
     def frame_step(state, xs):
         if level == "corners":
             ew, edt, ids, corners, valid = xs
+        elif level == "images":
+            ew, edt, img = xs
         else:
             ew, edt, ids, z, R, valid = xs
 
@@ -86,6 +95,11 @@ def replay(
 
         if level == "corners":
             frame = observations_from_corners(ids, corners, valid, camera, config)
+        elif level == "images":
+            det = detect_markers(img, det_cfg)
+            frame = observations_from_corners(
+                det.ids, det.corners, det.valid, camera, config
+            )
         else:
             frame = ekf.FrameObservations(ids=ids, z=z, R=R, valid=valid)
         state = ekf.update(state, frame, config)
@@ -94,6 +108,8 @@ def replay(
 
     if level == "corners":
         xs = (data.enc_w, data.enc_dt, data.obs_ids, data.corners_px, data.obs_valid)
+    elif level == "images":
+        xs = (data.enc_w, data.enc_dt, data.images)
     else:
         xs = (
             data.enc_w, data.enc_dt, data.obs_ids, data.obs_z, data.obs_R,
@@ -105,16 +121,17 @@ def replay(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "level"))
+@functools.partial(jax.jit, static_argnames=("config", "level", "det_cfg"))
 def replay_batch(
     data: ReplayData,
     config: SlamConfig,
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
+    det_cfg: DetectorConfig = DetectorConfig(),
 ) -> ReplayResult:
     """vmapped multi-sequence replay: every field of ``data`` carries a
     leading batch axis (io.sequence.stack_sequences)."""
-    return jax.vmap(lambda d: replay(d, config, camera, level))(data)
+    return jax.vmap(lambda d: replay(d, config, camera, level, det_cfg))(data)
 
 
 def evaluate_sequence(
@@ -122,10 +139,11 @@ def evaluate_sequence(
     config: SlamConfig,
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
+    det_cfg: DetectorConfig = DetectorConfig(),
 ) -> dict:
     """Replay + score against the sequence's ground truth. Host-side."""
     data = replay_data_from_sequence(seq, level)
-    result = replay(data, config, camera, level)
+    result = replay(data, config, camera, level, det_cfg)
     traj = np.asarray(result.trajectory)
     out = {"n_landmarks": int(result.final_state.n_landmarks)}
     if seq.true_pose_frames is not None:

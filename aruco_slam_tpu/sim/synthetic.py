@@ -303,7 +303,26 @@ def generate_sequence(
 
     if level == "corners":
         seq = add_corner_stream(seq, marker_map, params, camera)
+    elif level == "images":
+        seq = add_corner_stream(seq, marker_map, params, camera)
+        seq = add_image_stream(seq, marker_map, params, camera)
     return seq
+
+
+def add_image_stream(
+    seq: Sequence, marker_map: MarkerMap, p: SimParams, camera,
+    height: int = 480, width: int = 640,
+) -> Sequence:
+    """Render every frame through the full camera model (sim.renderer) —
+    the image-level data source for the detection pipeline."""
+    from dataclasses import replace as _replace
+
+    from aruco_slam_tpu.sim import renderer
+
+    images = renderer.render_sequence_frames(
+        seq, marker_map, camera, t_r2c=p.t_r2c, height=height, width=width
+    )
+    return _replace(seq, images=images, meta={**seq.meta, "level": "images"})
 
 
 def add_corner_stream(seq: Sequence, marker_map: MarkerMap, p: SimParams, camera):
