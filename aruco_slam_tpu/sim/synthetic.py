@@ -325,14 +325,35 @@ def add_image_stream(
     return _replace(seq, images=images, meta={**seq.meta, "level": "images"})
 
 
+def project_points_np(points_cam: np.ndarray, camera) -> np.ndarray:
+    """Host-side (numpy) pinhole + Brown-Conrady projection, matching
+    ops.camera.project_points — keeps sequence generation off-device (tiny
+    per-marker device dispatches are pure overhead, and painfully so over a
+    remote-TPU tunnel)."""
+    fx = float(np.asarray(camera.fx))
+    fy = float(np.asarray(camera.fy))
+    cx = float(np.asarray(camera.cx))
+    cy = float(np.asarray(camera.cy))
+    k1, k2, p1, p2, k3 = np.asarray(camera.dist, np.float64)
+    xn = points_cam[..., 0] / points_cam[..., 2]
+    yn = points_cam[..., 1] / points_cam[..., 2]
+    r2 = xn * xn + yn * yn
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = xn * radial + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
+    yd = yn * radial + 2 * p2 * xn * yn + p1 * (r2 + 2 * yn * yn)
+    return np.stack([fx * xd + cx, fy * yd + cy], axis=-1)
+
+
+def marker_object_points_np(length: float) -> np.ndarray:
+    h = length / 2.0
+    return np.array(
+        [[-h, h, 0.0], [h, h, 0.0], [h, -h, 0.0], [-h, -h, 0.0]], np.float64
+    )
+
+
 def add_corner_stream(seq: Sequence, marker_map: MarkerMap, p: SimParams, camera):
     """Project marker corners through the full 3-D camera model for each
-    frame's visible markers, producing the PnP-level stream."""
-    import jax.numpy as jnp
-
-    from aruco_slam_tpu.ops.camera import project_points
-    from aruco_slam_tpu.ops.pnp import marker_object_points
-
+    frame's visible markers, producing the PnP-level stream. Pure numpy."""
     n_frames, m = seq.obs_ids.shape
     corners = np.zeros((n_frames, m, 4, 2), np.float32)
     id_to_row = {int(i): k for k, i in enumerate(marker_map.ids)}
@@ -354,11 +375,8 @@ def add_corner_stream(seq: Sequence, marker_map: MarkerMap, p: SimParams, camera
                 continue
             row = id_to_row[int(seq.obs_ids[f, j])]
             R_wm = rpy_matrix_np(*marker_map.rpys[row])
-            obj = np.asarray(
-                marker_object_points(float(marker_map.lengths[row]), dtype=jnp.float32)
-            )
+            obj = marker_object_points_np(float(marker_map.lengths[row]))
             world = obj @ R_wm.T + marker_map.positions[row]
             cam = (world - cam_pos) @ R_wc
-            px = np.asarray(project_points(jnp.asarray(cam, jnp.float32), camera))
-            corners[f, j] = px
+            corners[f, j] = project_points_np(cam, camera)
     return replace(seq, corners_px=corners, meta={**seq.meta, "level": "corners"})
