@@ -325,16 +325,24 @@ def add_image_stream(
     return _replace(seq, images=images, meta={**seq.meta, "level": "images"})
 
 
-def project_points_np(points_cam: np.ndarray, camera) -> np.ndarray:
+def camera_to_host(camera) -> tuple:
+    """Pull camera intrinsics to host floats ONCE (device->host transfers
+    are network roundtrips over a remote-TPU tunnel — never do them
+    per-marker)."""
+    return (
+        float(np.asarray(camera.fx)),
+        float(np.asarray(camera.fy)),
+        float(np.asarray(camera.cx)),
+        float(np.asarray(camera.cy)),
+        np.asarray(camera.dist, np.float64),
+    )
+
+
+def project_points_np(points_cam: np.ndarray, host_camera: tuple) -> np.ndarray:
     """Host-side (numpy) pinhole + Brown-Conrady projection, matching
-    ops.camera.project_points — keeps sequence generation off-device (tiny
-    per-marker device dispatches are pure overhead, and painfully so over a
-    remote-TPU tunnel)."""
-    fx = float(np.asarray(camera.fx))
-    fy = float(np.asarray(camera.fy))
-    cx = float(np.asarray(camera.cx))
-    cy = float(np.asarray(camera.cy))
-    k1, k2, p1, p2, k3 = np.asarray(camera.dist, np.float64)
+    ops.camera.project_points — keeps sequence generation off-device."""
+    fx, fy, cx, cy, dist = host_camera
+    k1, k2, p1, p2, k3 = dist
     xn = points_cam[..., 0] / points_cam[..., 2]
     yn = points_cam[..., 1] / points_cam[..., 2]
     r2 = xn * xn + yn * yn
@@ -358,6 +366,7 @@ def add_corner_stream(seq: Sequence, marker_map: MarkerMap, p: SimParams, camera
     corners = np.zeros((n_frames, m, 4, 2), np.float32)
     id_to_row = {int(i): k for k, i in enumerate(marker_map.ids)}
     cam_height = 0.3
+    host_cam = camera_to_host(camera)
     # Project in the arena frame where the marker_map lives (robot<->marker
     # relative geometry is frame-invariant).
     poses_world = seq.meta.get("true_pose_frames_world", seq.true_pose_frames)
@@ -378,5 +387,5 @@ def add_corner_stream(seq: Sequence, marker_map: MarkerMap, p: SimParams, camera
             obj = marker_object_points_np(float(marker_map.lengths[row]))
             world = obj @ R_wm.T + marker_map.positions[row]
             cam = (world - cam_pos) @ R_wc
-            corners[f, j] = project_points_np(cam, camera)
+            corners[f, j] = project_points_np(cam, host_cam)
     return replace(seq, corners_px=corners, meta={**seq.meta, "level": "corners"})

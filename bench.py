@@ -10,10 +10,19 @@ observation stream.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent compilation cache: the replay program is large and the remote
+# TPU compile path is slow; cache it across bench invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aruco_slam_tpu_jax_cache")
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def build_data(batch, duration, cam, level="corners"):
