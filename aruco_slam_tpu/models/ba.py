@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from aruco_slam_tpu.ops import geometry
+from aruco_slam_tpu.ops import linalg as small_linalg
 
 Array = jax.Array
 
@@ -198,7 +199,7 @@ def _linearize(problem: BAProblem, poses, landmarks, damping):
     eye = jnp.eye(3, dtype=poses.dtype)
     Hpp_diag = Hpp_diag + damping * eye
     Hll = Hll + damping * eye
-    Hll_inv = jnp.linalg.inv(Hll)  # [L, 3, 3] closed-form batched
+    Hll_inv = small_linalg.inv3x3(Hll)  # [L, 3, 3] closed-form batched
 
     return dict(
         Hpp_diag=Hpp_diag, Hll_inv=Hll_inv, Apl=Apl, Hij=Hij,
@@ -233,7 +234,7 @@ def _schur_matvec(lin, problem: BAProblem, v):
 def _pcg(lin, problem: BAProblem, rhs, iters: int):
     """Preconditioned CG on the reduced system; block-Jacobi preconditioner
     from the Hpp diagonal blocks."""
-    Minv = jnp.linalg.inv(lin["Hpp_diag"])
+    Minv = small_linalg.inv3x3(lin["Hpp_diag"])
 
     def precond(r):
         return (Minv @ r[..., None])[..., 0]

@@ -37,7 +37,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from aruco_slam_tpu.ops import geometry
+from aruco_slam_tpu.ops import geometry, linalg
 from aruco_slam_tpu.utils.config import SlamConfig
 
 Array = jax.Array
@@ -190,16 +190,27 @@ def predict(state: EkfState, control: Control, config: SlamConfig) -> EkfState:
 # ---------------------------------------------------------------------------
 
 
+def _slot_selector(slot, n_dim, dtype):
+    """One-hot row selector E [3, N] for landmark ``slot``'s block.
+
+    Replaces dynamic_slice/gather: E @ x reads the block, E.T @ y writes it.
+    Under vmap these become batched matmuls (MXU) instead of gathers —
+    the reason batched replay scales."""
+    idx = 3 + 3 * slot
+    iota = jnp.arange(n_dim, dtype=jnp.int32)
+    return (iota[None, :] == (idx + jnp.arange(3, dtype=jnp.int32))[:, None]).astype(dtype)
+
+
 def _known_landmark_update(mu, sigma, mu0, slot, z, Rk, seen_prev, last_obs, cfg: SlamConfig):
     """Sequential EKF correction for an existing landmark
     (src/aruco_slam.cpp:108-207). Returns (mu', sigma', new_last_obs_entry,
     diverged_flag, applied_flag)."""
     dtype = mu.dtype
-    idx = 3 + 3 * slot
+    E = _slot_selector(slot, mu.shape[0], dtype)
 
     # Stale linearization point (frame-start mean), :119-134
     x, y, th = mu0[0], mu0[1], mu0[2]
-    m = jax.lax.dynamic_slice(mu0, (idx,), (3,))
+    m = E @ mu0
     sth, cth = jnp.sin(th), jnp.cos(th)
     gdx = m[0] - x
     gdy = m[1] - y
@@ -224,19 +235,16 @@ def _known_landmark_update(mu, sigma, mu0, slot, z, Rk, seen_prev, last_obs, cfg
         ]
     ).astype(dtype)
 
-    # Gx = Gxm F has nonzero columns only at [0:3] and [idx:idx+3], so
-    # B = Gx sigma is two 3-row gathers + 3x3 matmuls (vs dense 3xN @ NxN).
+    # Gx = Gxm F has nonzero columns only at [0:3] and the landmark block,
+    # so B = Gx sigma needs just the pose rows and E-selected rows.
     sig_pose = sigma[:3, :]  # [3, N]
-    sig_lm = jax.lax.dynamic_slice(sigma, (idx, 0), (3, sigma.shape[1]))
+    sig_lm = E @ sigma  # [3, N]
     B = Gp @ sig_pose + Gl @ sig_lm  # [3, N] = Gx sigma
-    S = (
-        B[:, :3] @ Gp.T
-        + jax.lax.dynamic_slice(B, (0, idx), (3, 3)) @ Gl.T
-        + Rk.astype(dtype)
-    )
+    S = B[:, :3] @ Gp.T + (B @ E.T) @ Gl.T + Rk.astype(dtype)
     # K = sigma Gx^T S^-1 = B^T S^-1 (sigma symmetric, S symmetric);
-    # solve instead of the reference's explicit .inverse() (:146).
-    K = jnp.linalg.solve(S, B).T  # [N, 3]
+    # closed-form 3x3 solve (batched LU is loop-lowered on TPU) instead of
+    # the reference's explicit .inverse() (:146).
+    K = linalg.solve3x3(S, B).T  # [N, 3]
 
     # Divergence check — log-only in the reference (:156-175), optionally a
     # real gate (quirk (d)).
@@ -278,16 +286,17 @@ def _new_landmark_insert(mu, sigma, mu0, slot, z, Rk):
     including the reference's f32 downcast of sin/cos (``float sinth``,
     :210-211) which is our native precision anyway — and the *current*
     sigma for the cross-covariance (:230,244).
+
+    All writes go through the one-hot selector (slot entries are exactly
+    zero pre-augmentation, so adds == sets) — no scatters.
     """
     dtype = mu.dtype
-    idx = 3 + 3 * slot
+    E = _slot_selector(slot, mu.shape[0], dtype)
     sth, cth = jnp.sin(mu0[2]), jnp.cos(mu0[2])
     map_x = mu0[0] + cth * z[0] - sth * z[1]
     map_y = mu0[1] + sth * z[0] + cth * z[1]
     map_th = geometry.wrap_angle(mu0[2] + z[2])
-    mu_new = jax.lax.dynamic_update_slice(
-        mu, jnp.stack([map_x, map_y, map_th]).astype(dtype), (idx,)
-    )
+    mu_new = mu + E.T @ jnp.stack([map_x, map_y, map_th]).astype(dtype)
 
     dx = map_x - mu0[0]
     dy = map_y - mu0[1]
@@ -314,9 +323,10 @@ def _new_landmark_insert(mu, sigma, mu0, slot, z, Rk):
     sigma_mm = Gmi @ inner.T @ Gmi.T
     sigma_mx = -(Gmi @ Gsk) @ sigma[:3, :]  # [3, N]
 
-    sigma_new = jax.lax.dynamic_update_slice(sigma, sigma_mx, (idx, 0))
-    sigma_new = jax.lax.dynamic_update_slice(sigma_new, sigma_mx.T, (0, idx))
-    sigma_new = jax.lax.dynamic_update_slice(sigma_new, sigma_mm, (idx, idx))
+    # sigma_mx's columns at the new slot are zero (slot inactive), so the
+    # row add and col add don't overlap; the [slot, slot] 3x3 comes only
+    # from the sigma_mm term.
+    sigma_new = sigma + E.T @ sigma_mx + sigma_mx.T @ E + E.T @ (sigma_mm @ E)
     return mu_new, sigma_new
 
 
@@ -357,6 +367,8 @@ def update(state: EkfState, frame: FrameObservations, config: SlamConfig) -> Ekf
     frozen_last_obs = state.last_obs
     frozen_seen = state.seen_prev
 
+    lm_iota = jnp.arange(max_lm, dtype=jnp.int32)
+
     def step(carry, ob):
         mu, sigma, slot_ids, n_lm, new_last, new_seen, diverged, dropped = carry
         ob_id, z, Rk, valid, slot = ob
@@ -365,30 +377,32 @@ def update(state: EkfState, frame: FrameObservations, config: SlamConfig) -> Ekf
         has_room = n_lm < max_lm
 
         def do_known(_):
+            sel = lm_iota == slot  # one-hot over slots (no gathers/scatters)
             m, s, nlo, div, _applied = _known_landmark_update(
                 mu, sigma, mu0, slot, z, Rk,
-                frozen_seen[jnp.maximum(slot, 0)],
-                frozen_last_obs[jnp.maximum(slot, 0)],
+                jnp.any(sel & frozen_seen),
+                sel.astype(dtype) @ frozen_last_obs,
                 config,
             )
             return (
                 m, s, slot_ids, n_lm,
-                new_last.at[slot].set(nlo),
-                new_seen.at[slot].set(True),
+                jnp.where(sel[:, None], nlo[None, :], new_last),
+                new_seen | sel,
                 diverged + div.astype(jnp.int32),
                 dropped,
             )
 
         def do_new(_):
             m, s = _new_landmark_insert(mu, sigma, mu0, n_lm, z, Rk)
+            sel = lm_iota == n_lm
             return (
                 m, s,
-                slot_ids.at[n_lm].set(ob_id),
+                jnp.where(sel, ob_id, slot_ids),
                 n_lm + 1,
                 # Reference pushes the new marker with last_observation_
                 # uninitialized (defined here as zeros) — see quirk (c).
-                new_last.at[n_lm].set(jnp.zeros((3,), dtype)),
-                new_seen.at[n_lm].set(True),
+                jnp.where(sel[:, None], 0.0, new_last),
+                new_seen | sel,
                 diverged,
                 dropped,
             )

@@ -34,7 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from aruco_slam_tpu.ops import dictionary, geometry
+from aruco_slam_tpu.ops import dictionary, geometry, linalg
 
 Array = jax.Array
 
@@ -254,7 +254,14 @@ def decode_candidates(img: Array, corners: Array, cfg: DetectorConfig):
     grid = jnp.stack([gx, gy], axis=-1)  # [49*s*s, 2] canonical coords
 
     def decode_one(quad):
-        H = geometry.homography_from_4pts(src, quad)
+        # closed-form unit-square homography composed with the 1/7 scale —
+        # no 8x8 solve per candidate
+        Hu = linalg.homography_unit_square(quad)
+        scale = jnp.asarray(
+            [[1.0 / 7.0, 0.0, 0.0], [0.0, 1.0 / 7.0, 0.0], [0.0, 0.0, 1.0]],
+            quad.dtype,
+        )
+        H = Hu @ scale
         px = geometry.apply_homography(H, grid)
         vals = _bilinear(img, px).reshape(7, 7, s * s)
         cells = jnp.mean(vals, axis=-1)  # [7, 7]

@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from aruco_slam_tpu.ops import geometry
+from aruco_slam_tpu.ops import geometry, linalg
 from aruco_slam_tpu.ops.camera import (
     CameraIntrinsics,
     pixels_to_normalized,
@@ -48,15 +48,25 @@ class PnPResult(NamedTuple):
     rms_px: Array  # [...] mean-squared pixel reprojection error (see note)
 
 
-def _homography_init(corners_norm: Array, obj_xy: Array):
+def _homography_init(corners_norm: Array, obj_xy: Array, marker_length):
     """Pose init by homography decomposition.
 
     ``corners_norm [..., 4, 2]`` undistorted normalized image points,
-    ``obj_xy [4, 2]`` planar object coords. Returns (R, t).
+    ``obj_xy [4, 2]`` planar object coords (square, TL/TR/BR/BL). Returns
+    (R, t). The homography comes from the closed-form unit-square mapping
+    (ops.linalg.homography_unit_square) composed with the affine unit->object
+    map — no 8x8 LU solve (batched LU is a sequential-loop disaster on TPU).
     """
-    H = geometry.homography_from_4pts(
-        jnp.broadcast_to(obj_xy, corners_norm.shape), corners_norm
+    dtype = corners_norm.dtype
+    Hu = linalg.homography_unit_square(corners_norm)
+    # unit square -> object square: x = -h + L*u, y = h - L*v; inverse:
+    # u = (x+h)/L, v = (h-y)/L
+    h = marker_length / 2.0
+    L = marker_length
+    A_inv = jnp.asarray(
+        [[1.0 / L, 0.0, h / L], [0.0, -1.0 / L, h / L], [0.0, 0.0, 1.0]], dtype
     )
+    H = Hu @ A_inv
     h1, h2, h3 = H[..., :, 0], H[..., :, 1], H[..., :, 2]
     n1 = jnp.linalg.norm(h1, axis=-1, keepdims=True)
     n2 = jnp.linalg.norm(h2, axis=-1, keepdims=True)
@@ -103,7 +113,7 @@ def _gauss_newton_refine(rvec, tvec, corners_norm, obj_pts, iters: int):
         r = residual(params)
         J = jax.jacfwd(residual)(params)  # [8, 6]
         JtJ = J.T @ J + 1e-9 * jnp.eye(6, dtype=params.dtype)
-        delta = jnp.linalg.solve(JtJ, J.T @ r)
+        delta = linalg.solve_spd(JtJ, J.T @ r, 6)
         new = params - delta
         # Keep the step only if it reduces the residual (cheap trust region).
         better = jnp.sum(residual(new) ** 2) < jnp.sum(r**2)
@@ -128,7 +138,7 @@ def solve_pnp_square(
     dtype = corners_px.dtype
     obj_pts = marker_object_points(marker_length, dtype=dtype)
     corners_norm = pixels_to_normalized(corners_px, camera)
-    R0, t0 = _homography_init(corners_norm, obj_pts[:, :2])
+    R0, t0 = _homography_init(corners_norm, obj_pts[:, :2], marker_length)
     rvec0 = geometry.inv_rodrigues(R0)
     rvec, tvec = _gauss_newton_refine(
         rvec0, t0, corners_norm, obj_pts, iters=refine_iters

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from aruco_slam_tpu.models import ba
 from aruco_slam_tpu.models.ba import BAProblem
 from aruco_slam_tpu.ops import geometry
+from aruco_slam_tpu.ops import linalg as small_linalg
 
 Array = jax.Array
 
@@ -176,7 +177,7 @@ def solve_dist(
             Hpp_odo, Hij, bp_odo = ba.odo_linear_blocks(prob, poses, landmarks, K)
             Hpp_diag = Hpp_obs + Hpp_odo + damping * eye
             Hpp_diag = Hpp_diag.at[0].add(local.prior_w)
-            Hll_inv = jnp.linalg.inv(Hll + damping * eye)
+            Hll_inv = small_linalg.inv3x3(Hll + damping * eye)
 
             r0 = prior_pose - poses[0]
             r0 = r0.at[2].set(geometry.wrap_angle(r0[2]))
@@ -191,7 +192,7 @@ def solve_dist(
                 jax.ops.segment_sum(back, prob.obs_kf, num_segments=K), AXIS
             )
 
-            Minv = jnp.linalg.inv(Hpp_diag)
+            Minv = small_linalg.inv3x3(Hpp_diag)
 
             def matvec(v):
                 out = (Hpp_diag @ v[..., None])[..., 0]

@@ -25,7 +25,7 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build_data(batch, duration, cam, level="corners"):
+def build_data(batch, duration, cam, level="corners", distinct=8):
     import jax.numpy as jnp
 
     from aruco_slam_tpu import runner
@@ -37,10 +37,13 @@ def build_data(batch, duration, cam, level="corners"):
             level=level,
             camera=cam,
         )
-        for s in range(batch)
+        for s in range(min(batch, distinct))
     ]
     f, epf = seqs[0].num_frames, seqs[0].enc_per_frame
-    stack = lambda name: np.stack([getattr(s, name) for s in seqs])
+    reps = -(-batch // len(seqs))
+    stack = lambda name: np.concatenate(
+        [np.stack([getattr(s, name) for s in seqs])] * reps
+    )[:batch]
     data = runner.ReplayData(
         enc_w=jnp.asarray(stack("enc_w").reshape(batch, f, epf, 2)),
         enc_dt=jnp.asarray(stack("enc_dt").reshape(batch, f, epf)),
@@ -69,10 +72,29 @@ def bench_tpu(data, cfg, cam, level, reps=5):
     return batch * frames / dt, out
 
 
-def bench_reference_numpy(seq, n_frames=150):
-    """Single-thread dense float64 EKF (reference-equivalent formulation)."""
+def bench_reference_numpy(seq, n_frames=150, marker_length=0.27):
+    """Single-thread reference-equivalent pipeline for the same workload:
+    per frame, per-marker iterative PnP (cv2.solvePnP IPPE_SQUARE, the same
+    native path the reference uses via estimatePoseSingleMarkers) followed
+    by the dense float64 EKF (reference Eigen formulation)."""
     sys.path.insert(0, "tests")
     from reference_ekf import ReferenceEKF
+
+    try:
+        import cv2
+
+        obj = np.array(
+            [
+                [-marker_length / 2, marker_length / 2, 0],
+                [marker_length / 2, marker_length / 2, 0],
+                [marker_length / 2, -marker_length / 2, 0],
+                [-marker_length / 2, -marker_length / 2, 0],
+            ]
+        )
+        K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1.0]])
+        dist = np.zeros(5)
+    except ImportError:
+        cv2 = None
 
     ekf = ReferenceEKF()
     epf = seq.enc_per_frame
@@ -83,11 +105,19 @@ def bench_reference_numpy(seq, n_frames=150):
     for f in range(n_frames):
         for e in range(epf):
             ekf.add_encoder(enc_w[f, e, 0], enc_w[f, e, 1], enc_dt[f, e])
-        obs = [
-            (int(seq.obs_ids[f, j]), seq.obs_z[f, j], seq.obs_R[f, j])
-            for j in range(seq.max_obs)
-            if seq.obs_valid[f, j]
-        ]
+        obs = []
+        for j in range(seq.max_obs):
+            if not seq.obs_valid[f, j]:
+                continue
+            if cv2 is not None and seq.corners_px is not None:
+                corners = seq.corners_px[f, j].astype(np.float64)
+                cv2.solvePnP(
+                    obj, corners.reshape(-1, 1, 2), K, dist,
+                    flags=cv2.SOLVEPNP_IPPE_SQUARE,
+                )
+            obs.append(
+                (int(seq.obs_ids[f, j]), seq.obs_z[f, j], seq.obs_R[f, j])
+            )
         ekf.add_frame(obs)
     dt = time.perf_counter() - t0
     return n_frames / dt
@@ -99,8 +129,8 @@ def main():
 
     cfg = SlamConfig(ekf=EkfConfig(max_landmarks=32, max_observations_per_frame=16))
     cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
-    data, seqs = build_data(batch=8, duration=60.0, cam=cam)
-    fps, _ = bench_tpu(data, cfg, cam, "corners")
+    data, seqs = build_data(batch=64, duration=60.0, cam=cam)
+    fps, _ = bench_tpu(data, cfg, cam, "corners", reps=3)
     base_fps = bench_reference_numpy(seqs[0])
     print(
         json.dumps(
