@@ -96,32 +96,63 @@ def _homography_init(corners_norm: Array, obj_xy: Array, marker_length):
 
 
 def _gauss_newton_refine(rvec, tvec, corners_norm, obj_pts, iters: int):
-    """Refine (rvec, tvec) on normalized-coordinate reprojection residuals.
+    """Refine the pose on normalized-coordinate reprojection residuals.
 
-    Fixed trip count, Levenberg damping with a small constant lambda; all
-    linear algebra is 6x6 so a whole frame of markers fuses into one kernel.
+    Rotation is parameterized incrementally — R <- R0 exp(skew(dw)) — so the
+    Jacobian is the closed form J = [dproj/dpc * (-R skew(X)), dproj/dpc]
+    (no jacfwd: forward-mode would duplicate the whole residual graph 6x).
+    Fixed trip count; the 6x6 normal equations solve with the unrolled
+    Cholesky, so a whole frame of markers fuses into one program.
     """
+    R0 = geometry.rodrigues(rvec)
+    eye6 = 1e-9 * jnp.eye(6, dtype=tvec.dtype)
 
-    def residual(params):
-        rv, tv = params[:3], params[3:]
-        R = geometry.rodrigues(rv)
-        pc = obj_pts @ R.T + tv
+    def residual_of(R, t):
+        pc = obj_pts @ R.T + t  # [4, 3]
         proj = pc[:, :2] / pc[:, 2:3]
-        return (proj - corners_norm).reshape(-1)  # [8]
+        return (proj - corners_norm).reshape(-1), pc
 
-    def step(params, _):
-        r = residual(params)
-        J = jax.jacfwd(residual)(params)  # [8, 6]
-        JtJ = J.T @ J + 1e-9 * jnp.eye(6, dtype=params.dtype)
+    def step(carry, _):
+        R, t = carry
+        r, pc = residual_of(R, t)
+        x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+        inv_z = 1.0 / z
+        # dproj/dpc per point: [[1/z, 0, -x/z^2], [0, 1/z, -y/z^2]]
+        zero = jnp.zeros_like(x)
+        dpdc = jnp.stack(
+            [
+                jnp.stack([inv_z, zero, -x * inv_z * inv_z], axis=-1),
+                jnp.stack([zero, inv_z, -y * inv_z * inv_z], axis=-1),
+            ],
+            axis=-2,
+        )  # [4, 2, 3]
+        # dpc/d(dw) = -R skew(X) per object point
+        Xx, Xy, Xz = obj_pts[:, 0], obj_pts[:, 1], obj_pts[:, 2]
+        zo = jnp.zeros_like(Xx)
+        skewX = jnp.stack(
+            [
+                jnp.stack([zo, -Xz, Xy], axis=-1),
+                jnp.stack([Xz, zo, -Xx], axis=-1),
+                jnp.stack([-Xy, Xx, zo], axis=-1),
+            ],
+            axis=-2,
+        )  # [4, 3, 3]
+        J_rot = dpdc @ (-(R @ skewX))  # [4, 2, 3]
+        J_t = dpdc  # [4, 2, 3]
+        J = jnp.concatenate([J_rot, J_t], axis=-1).reshape(-1, 6)  # [8, 6]
+        JtJ = J.T @ J + eye6
         delta = linalg.solve_spd(JtJ, J.T @ r, 6)
-        new = params - delta
+        R_new = R @ geometry.rodrigues(delta[:3] * -1.0)
+        t_new = t - delta[3:]
+        r_new, _ = residual_of(R_new, t_new)
         # Keep the step only if it reduces the residual (cheap trust region).
-        better = jnp.sum(residual(new) ** 2) < jnp.sum(r**2)
-        return jnp.where(better, new, params), None
+        better = jnp.sum(r_new**2) < jnp.sum(r**2)
+        R = jnp.where(better, R_new, R)
+        t = jnp.where(better, t_new, t)
+        return (R, t), None
 
-    params0 = jnp.concatenate([rvec, tvec])
-    params, _ = jax.lax.scan(step, params0, None, length=iters)
-    return params[:3], params[3:]
+    (R, t), _ = jax.lax.scan(step, (R0, tvec), None, length=iters)
+    return geometry.inv_rodrigues(R), t
 
 
 def solve_pnp_square(
