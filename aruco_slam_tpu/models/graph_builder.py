@@ -37,9 +37,17 @@ def build_from_sequence(
     odo_info: float = 1e4,
     prior_info: float = 1e8,
     dtype=np.float32,
+    init_poses=None,
+    init_landmarks=None,
 ) -> tuple[BAProblem, np.ndarray]:
     """Returns (problem, landmark_ids) — landmark_ids maps landmark slot ->
-    ArUco id for evaluation against ground truth."""
+    ArUco id for evaluation against ground truth.
+
+    ``init_poses`` ([F, 3], indexed by frame) and ``init_landmarks``
+    (dict aruco_id -> [3]) override the dead-reckoned initialization —
+    pass the EKF trajectory/map for the filter->smoother pipeline (a long
+    drifty chain initialized from raw odometry can trap Gauss-Newton in a
+    bent local minimum)."""
     odom = config.odom
     epf = seq.enc_per_frame
     enc_w = seq.enc_w.reshape(-1, epf, 2)
@@ -71,6 +79,9 @@ def build_from_sequence(
             np.arctan2(np.sin(poses[n, 2] + odo[n, 2]), np.cos(poses[n, 2] + odo[n, 2])),
         ]
 
+    if init_poses is not None:
+        poses = np.asarray(init_poses, float)[f_idx]
+
     # marker observations on keyframes
     lm_slot: dict[int, int] = {}
     obs_kf, obs_lm, obs_z, obs_w = [], [], [], []
@@ -83,14 +94,17 @@ def build_from_sequence(
             z = seq.obs_z[f, j]
             if aid not in lm_slot:
                 lm_slot[aid] = len(lm_slot)
-                c, s = np.cos(poses[n, 2]), np.sin(poses[n, 2])
-                lm_init.append(
-                    [
-                        poses[n, 0] + c * z[0] - s * z[1],
-                        poses[n, 1] + s * z[0] + c * z[1],
-                        np.arctan2(np.sin(poses[n, 2] + z[2]), np.cos(poses[n, 2] + z[2])),
-                    ]
-                )
+                if init_landmarks is not None and aid in init_landmarks:
+                    lm_init.append(list(np.asarray(init_landmarks[aid], float)))
+                else:
+                    c, s = np.cos(poses[n, 2]), np.sin(poses[n, 2])
+                    lm_init.append(
+                        [
+                            poses[n, 0] + c * z[0] - s * z[1],
+                            poses[n, 1] + s * z[0] + c * z[1],
+                            np.arctan2(np.sin(poses[n, 2] + z[2]), np.cos(poses[n, 2] + z[2])),
+                        ]
+                    )
             obs_kf.append(n)
             obs_lm.append(lm_slot[aid])
             obs_z.append(z)

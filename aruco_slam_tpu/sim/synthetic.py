@@ -120,11 +120,18 @@ class SimParams:
     duration: float = 60.0
     enc_rate: float = 100.0
     frames_per_sec: float = 10.0
-    # (v, omega) profile: loop with sinusoidal wobble
+    # drive profile: "loop" = circle with sinusoidal wobble; "tour" =
+    # rounded-rectangle perimeter tour (for large arenas / loop closure)
+    profile: str = "loop"
     v0: float = 0.3
     omega0: float = 0.25
     omega_wobble: float = 0.15
     wobble_period: float = 11.0
+    # tour profile geometry: rectangle inset from the arena walls
+    tour_width: float = 5.1
+    tour_height: float = 4.7
+    tour_inset: float = 1.6
+    tour_corner_radius: float = 0.8
     # Default start puts the v0/omega0 loop (radius ~1.2 m) in the middle of
     # the default 5.1 x 4.7 arena.
     start_pose: tuple = (2.55, -3.55, 0.0)
@@ -179,6 +186,38 @@ def _to_start_frame(poses: np.ndarray, start: np.ndarray) -> np.ndarray:
     return np.stack([dx * c + dy * s, -dx * s + dy * c, th], axis=-1)
 
 
+def _tour_profile(p: SimParams):
+    """Rounded-rectangle perimeter tour: piecewise (straight | corner-arc)
+    omega schedule at constant v, cycling until the duration runs out.
+
+    Drives counter-clockwise around a rectangle of tour_width x tour_height
+    inset by tour_inset, corners rounded with tour_corner_radius — close
+    enough to every wall that the 3 m range gate (reference effective
+    threshold) sees each wall's markers, with a full loop closure per lap.
+    """
+    r = p.tour_corner_radius
+    w = p.tour_width - 2 * p.tour_inset - 2 * r
+    h = p.tour_height - 2 * p.tour_inset - 2 * r
+    if w <= 0 or h <= 0:
+        raise ValueError("tour rectangle too small for inset + corner radius")
+    quarter = np.pi * r / 2
+    # segments: [straight w, arc, straight h, arc, straight w, arc, straight h, arc]
+    seg_len = [w, quarter, h, quarter, w, quarter, h, quarter]
+    seg_omega = [0.0, p.v0 / r, 0.0, p.v0 / r, 0.0, p.v0 / r, 0.0, p.v0 / r]
+    cum = np.cumsum(seg_len)
+    total = cum[-1]
+
+    def omega_of_t(t):
+        s = (p.v0 * t) % total
+        k = int(np.searchsorted(cum, s, side="right"))
+        return seg_omega[min(k, 7)]
+
+    # start at the bottom-left end of the bottom straight, heading +x,
+    # in arena coordinates (arena spans x in [0, W], y in [-H, 0])
+    start = (p.tour_inset + r, -(p.tour_height - p.tour_inset), 0.0)
+    return omega_of_t, start
+
+
 def generate_sequence(
     params: SimParams,
     marker_map: MarkerMap | None = None,
@@ -204,11 +243,19 @@ def generate_sequence(
     enc_w = np.zeros((n_enc, 2))
     enc_dt = np.full((n_enc,), dt)
     true_pose_enc = np.zeros((n_enc, 3))
-    pose = np.asarray(p.start_pose, float)
+    if p.profile == "tour":
+        omega_of_t, start_override = _tour_profile(p)
+    else:
+        omega_of_t, start_override = None, None
+    pose = np.asarray(
+        start_override if start_override is not None else p.start_pose, float
+    )
     for e in range(n_enc):
         t = e * dt
         if e == 0:
             wl = wr = 0.0  # first tick is the reference's is_init_ latch
+        elif omega_of_t is not None:
+            wl, wr = _wheel_speeds(p.v0, omega_of_t(t), p)
         else:
             omega = p.omega0 + p.omega_wobble * np.sin(2 * np.pi * t / p.wobble_period)
             wl, wr = _wheel_speeds(p.v0, omega, p)
@@ -269,15 +316,19 @@ def generate_sequence(
             z[2] = np.arctan2(np.sin(z[2]), np.cos(z[2]))
             obs_ids[f, j] = lm_ids[li]
             obs_z[f, j] = z
-            obs_R[f, j] = np.diag([sx**2 + 1e-2, sx**2 + 1e-2, sth**2 + 1e-3]).astype(
-                np.float32
-            )
+            # True sampling covariance. (The corner-level pipeline instead
+            # computes the reference's reprojection-error heuristic with its
+            # +1e-2/+1e-3 floors in ops.frontend — those floors are a
+            # property of that estimator, not of the measurements.)
+            obs_R[f, j] = np.diag([sx**2, sx**2, sth**2]).astype(np.float32)
             obs_valid[f, j] = True
 
     # Express ground truth in the estimator's frame (anchored at the start
     # pose, where the EKF mean begins at zero — reference ctor
     # src/aruco_slam.cpp:13-14). Arena-frame truth is kept in meta.
-    start = np.asarray(p.start_pose, float)
+    start = np.asarray(
+        start_override if start_override is not None else p.start_pose, float
+    )
     true_pose_frames_est = _to_start_frame(true_pose_frames, start)
     true_pose_enc_est = _to_start_frame(true_pose_enc, start)
     landmarks_est = _to_start_frame(landmarks, start)
