@@ -1,0 +1,202 @@
+"""Benchmark harness over the five BASELINE.md configs.
+
+Writes benchmarks/results.json and prints a summary. Run on the target
+device (TPU); config 1 is CPU-runnable per BASELINE.md.
+
+Timing discipline: steady-state after jit warmup, block_until_ready, and
+inputs *perturbed per repetition* so no layer can cache/dedupe executions.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aruco_slam_tpu_jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from aruco_slam_tpu import runner
+from aruco_slam_tpu.io import map_io
+from aruco_slam_tpu.models import ba, graph_builder
+from aruco_slam_tpu.ops.camera import CameraIntrinsics
+from aruco_slam_tpu.sim import synthetic
+from aruco_slam_tpu.utils.config import EkfConfig, SlamConfig
+
+CAM = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
+
+
+def timeit(fn, inputs, reps=5):
+    out = fn(inputs[0])
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for r in range(reps):
+        out = fn(inputs[r % len(inputs)])
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / reps
+
+
+def config1_reference_arena():
+    arena = map_io.load_map(
+        os.path.join(os.path.dirname(__file__), "..", "map", "reference_arena.txt")
+    )
+    cfg = SlamConfig(ekf=EkfConfig(max_landmarks=16, max_observations_per_frame=8))
+    seq = synthetic.generate_sequence(
+        synthetic.SimParams(duration=60.0, seed=2, max_obs=8), marker_map=arena
+    )
+    res = runner.evaluate_sequence(seq, cfg)
+    data = runner.replay_data_from_sequence(seq)
+    dt = timeit(lambda d: runner.replay(d, cfg), [data], reps=5)
+    return {
+        "ate_m": res["ate"],
+        "map_rmse_m": res["map_rmse"],
+        "n_landmarks": res["n_landmarks"],
+        "frames_per_sec": seq.num_frames / dt,
+    }
+
+
+def config2_loop_100():
+    from aruco_slam_tpu import pipeline
+
+    cfg = SlamConfig(ekf=EkfConfig(max_landmarks=128, max_observations_per_frame=16))
+    arena = synthetic.make_arena(n_markers=100, width=20.0, height=16.0)
+    seq = synthetic.generate_sequence(
+        synthetic.SimParams(
+            duration=210.0, profile="tour", tour_width=20.0, tour_height=16.0,
+            tour_inset=1.6, encoder_noise=0.4, fov_deg=90.0,
+            max_view_angle_deg=85.0, seed=11,
+        ),
+        marker_map=arena,
+    )
+    res = runner.evaluate_sequence(seq, cfg)
+    out = pipeline.ekf_then_ba(seq, cfg, keyframe_stride=4)
+    id_to_true = {
+        int(i): seq.true_landmarks[k] for k, i in enumerate(seq.true_landmark_ids)
+    }
+    lms = np.asarray(out["landmarks"])
+    ba_err = float(
+        np.mean(
+            [
+                np.linalg.norm(lms[s, :2] - id_to_true[int(a)][:2])
+                for s, a in enumerate(out["landmark_ids"])
+            ]
+        )
+    )
+    return {
+        "ekf_ate_m": res["ate"],
+        "ekf_map_rmse_m": res["map_rmse"],
+        "ba_map_err_m": ba_err,
+        "n_landmarks": res["n_landmarks"],
+    }
+
+
+def config3_batched(batch=64):
+    cfg = SlamConfig(ekf=EkfConfig(max_landmarks=32, max_observations_per_frame=16))
+    seqs = [
+        synthetic.generate_sequence(
+            synthetic.SimParams(duration=30.0, seed=s), level="corners", camera=CAM
+        )
+        for s in range(4)
+    ]
+    f, epf = seqs[0].num_frames, seqs[0].enc_per_frame
+    reps = batch // len(seqs)
+    stack = lambda n: np.concatenate([np.stack([getattr(s, n) for s in seqs])] * reps)
+
+    def make(jit_seed):
+        rng = np.random.default_rng(jit_seed)
+        c = stack("corners_px") + rng.normal(scale=0.01, size=(batch, f, seqs[0].max_obs, 4, 2)).astype(np.float32)
+        return runner.ReplayData(
+            enc_w=jnp.asarray(stack("enc_w").reshape(batch, f, epf, 2)),
+            enc_dt=jnp.asarray(stack("enc_dt").reshape(batch, f, epf)),
+            obs_ids=jnp.asarray(stack("obs_ids")),
+            obs_z=jnp.asarray(stack("obs_z")),
+            obs_R=jnp.asarray(stack("obs_R")),
+            obs_valid=jnp.asarray(stack("obs_valid")),
+            corners_px=jnp.asarray(c),
+        )
+
+    inputs = [make(s) for s in range(3)]
+    dt = timeit(lambda d: runner.replay_batch(d, cfg, CAM, "corners"), inputs, reps=6)
+    return {"batch": batch, "frames_per_sec_per_chip": batch * f / dt}
+
+
+def config4_ba(n_kf=1000, n_lm=500, iters=10, cg=50):
+    problems = []
+    for s in range(3):
+        p, _, _ = graph_builder.synthetic_ba_problem(
+            n_kf, n_lm, obs_per_kf=8, seed=s
+        )
+        problems.append(jax.tree.map(jnp.asarray, p))
+    solve = jax.jit(lambda p: ba.solve(p, iters=iters, cg_iters=cg, damping=1e-4))
+    dt = timeit(solve, problems, reps=6)
+    _, _, stats = solve(problems[0])
+    return {
+        "keyframes": n_kf,
+        "landmarks": n_lm,
+        "gn_iters_per_sec": iters / dt,
+        "cg_iters_per_gn": cg,
+        "cost_reduction": float(stats.initial_cost / jnp.maximum(stats.final_cost, 1e-9)),
+    }
+
+
+def config5_dist_ba(n_kf=10000, n_lm=5000):
+    from aruco_slam_tpu.parallel import dist_ba, mesh as mesh_lib
+
+    n_dev = len(jax.devices())
+    problem, _, _ = graph_builder.synthetic_ba_problem(
+        n_kf, n_lm, obs_per_kf=8, seed=0
+    )
+    out = {"keyframes": n_kf, "landmarks": n_lm, "devices": n_dev}
+    # single-device timing at full size
+    pj = jax.tree.map(jnp.asarray, problem)
+    solve = jax.jit(lambda p: ba.solve(p, iters=5, cg_iters=50, damping=1e-4))
+    dt = timeit(solve, [pj], reps=3)
+    out["single_device_gn_iters_per_sec"] = 5 / dt
+    if n_dev >= 2:
+        sharded, _ = dist_ba.partition_problem(problem, n_dev)
+        mesh = mesh_lib.make_mesh(n_dev, axis=dist_ba.AXIS)
+        t0 = time.perf_counter()
+        poses, lms, hist = dist_ba.solve_dist(sharded, mesh, iters=5, cg_iters=50)
+        jax.block_until_ready(poses)
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        poses, lms, hist = dist_ba.solve_dist(sharded, mesh, iters=5, cg_iters=50)
+        jax.block_until_ready(poses)
+        dt_d = time.perf_counter() - t0
+        out["sharded_gn_iters_per_sec"] = 5 / dt_d
+        out["scaling_efficiency"] = (5 / dt_d) / (n_dev * (5 / dt))
+    else:
+        out["note"] = "single chip available; sharded path validated on 8-way CPU mesh in tests"
+    return out
+
+
+def main():
+    results = {"device": str(jax.devices()[0])}
+    for name, fn in [
+        ("config1_ekf_reference_arena", config1_reference_arena),
+        ("config2_loop_100_markers", config2_loop_100),
+        ("config3_batched_replay", config3_batched),
+        ("config4_ba_1k_500", config4_ba),
+        ("config5_dist_ba_10k_5k", config5_dist_ba),
+    ]:
+        t0 = time.time()
+        try:
+            results[name] = fn()
+        except Exception as e:  # keep the report going
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+        results[name]["wall_s"] = round(time.time() - t0, 1)
+        print(name, json.dumps(results[name]), flush=True)
+    path = os.path.join(os.path.dirname(__file__), "results.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Pallas kernel parity tests (interpret mode on CPU; the same kernels
+compile and run on TPU — verified bit-exact there as well)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aruco_slam_tpu.models import ekf
+from aruco_slam_tpu.ops.kernels import ekf_update as kern
+from aruco_slam_tpu.utils.config import CompatConfig, EkfConfig, SlamConfig
+
+CFG = SlamConfig(ekf=EkfConfig(max_landmarks=12, max_observations_per_frame=6))
+
+
+def mkframe(rng, ids, m=6):
+    a = np.full(m, -1, np.int32)
+    a[: len(ids)] = ids
+    z = np.zeros((m, 3), np.float32)
+    z[: len(ids)] = rng.uniform(0.3, 2, (len(ids), 3))
+    R = np.tile(np.eye(3, dtype=np.float32) * 0.05, (m, 1, 1))
+    v = np.zeros(m, bool)
+    v[: len(ids)] = True
+    return ekf.FrameObservations(
+        jnp.asarray(a), jnp.asarray(z), jnp.asarray(R), jnp.asarray(v)
+    )
+
+
+def run_pair(cfg, frames, rng):
+    state = ekf.init_state(cfg)._replace(initialized=jnp.ones((), bool))
+    pred = jax.jit(ekf.predict, static_argnums=2)
+    for _ in range(3):
+        state = pred(
+            state,
+            ekf.Control(jnp.float32(1.2), jnp.float32(1.0), jnp.float32(0.05)),
+            cfg,
+        )
+    upd = jax.jit(ekf.update, static_argnums=2)
+    s_ref = s_ker = state
+    for ids in frames:
+        f = mkframe(rng, ids)
+        s_ref = upd(s_ref, f, cfg)
+        s_ker = kern.frame_update(s_ker, f, cfg, interpret=True)
+    return s_ref, s_ker
+
+
+def assert_state_equal(a, b, atol=1e-9):
+    np.testing.assert_allclose(np.asarray(a.mu), np.asarray(b.mu), atol=atol)
+    np.testing.assert_allclose(np.asarray(a.sigma), np.asarray(b.sigma), atol=atol)
+    assert int(a.n_landmarks) == int(b.n_landmarks)
+    np.testing.assert_array_equal(np.asarray(a.slot_ids), np.asarray(b.slot_ids))
+    np.testing.assert_array_equal(np.asarray(a.seen_prev), np.asarray(b.seen_prev))
+    np.testing.assert_allclose(np.asarray(a.last_obs), np.asarray(b.last_obs), atol=atol)
+    assert int(a.diverged) == int(b.diverged)
+    assert int(a.dropped) == int(b.dropped)
+
+
+def test_frame_update_kernel_matches_xla(rng):
+    s_ref, s_ker = run_pair(CFG, ([3, 5], [5, 9, 3], [9, 1], [1, 3, 5, 9]), rng)
+    assert_state_equal(s_ref, s_ker)
+
+
+def test_frame_update_kernel_capacity_overflow(rng):
+    cfg = SlamConfig(ekf=EkfConfig(max_landmarks=2, max_observations_per_frame=6))
+    s_ref, s_ker = run_pair(cfg, ([1, 2, 3],), rng)
+    assert_state_equal(s_ref, s_ker)
+    assert int(s_ker.dropped) == 1
+
+
+def test_frame_update_kernel_gate_disabled(rng):
+    cfg = SlamConfig(
+        ekf=EkfConfig(max_landmarks=12, max_observations_per_frame=6),
+        compat=CompatConfig(stationary_gate=False, reject_divergent=True),
+    )
+    s_ref, s_ker = run_pair(cfg, ([2, 4], [4, 2], [2, 4, 6]), rng)
+    assert_state_equal(s_ref, s_ker)
+
+
+def test_frame_update_kernel_uninitialized_noop(rng):
+    state = ekf.init_state(CFG)  # initialized=False
+    f = mkframe(rng, [3])
+    out = kern.frame_update(state, f, CFG, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.mu), 0.0)
+    assert int(out.n_landmarks) == 0
