@@ -18,3 +18,18 @@ scaling uses ``jax.sharding.Mesh`` + collectives instead of a message bus.
 """
 
 __version__ = "0.1.0"
+
+# On TPU, f32 matmuls default to single-pass bf16 on the MXU (~8e-3
+# relative error) — catastrophic for covariance algebra: the EKF sigma
+# recursion and BA normal equations lose positive-definiteness and NaN out
+# on long runs. Estimation math needs true f32 dots; the cost is negligible
+# at our matrix sizes. Override with ARUCO_SLAM_TPU_MATMUL_PRECISION if a
+# bf16 experiment is wanted.
+import os as _os
+
+import jax as _jax
+
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("ARUCO_SLAM_TPU_MATMUL_PRECISION", "highest"),
+)
