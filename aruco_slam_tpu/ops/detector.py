@@ -52,6 +52,9 @@ class DetectorConfig:
     max_correction: int = 1  # OpenCV: int(maxCorrectionBits=3 * 0.6 rate)
     min_corner_separation: float = 4.0
     min_contrast: float = 25.0
+    subpix_refine: bool = True
+    subpix_window: int = 4
+    subpix_iters: int = 3
 
 
 class Detections(NamedTuple):
@@ -290,6 +293,55 @@ def decode_candidates(img: Array, corners: Array, cfg: DetectorConfig):
     return mids, corners_out, contrast, border_errs, oks
 
 
+def refine_corners_subpix(
+    img: Array, corners: Array, window: int = 4, iters: int = 3
+) -> Array:
+    """Gradient-based subpixel corner refinement (cv::cornerSubPix
+    equivalent) — blob-extreme corners are pixel-quantized (+-0.7 px).
+
+    Classic saddle-point solve: q = (sum g g^T)^-1 sum (g g^T p) over a
+    window, where g = image gradient at sample p; iterated a few times.
+    Vectorized over all corners; each iteration is a fixed grid of bilinear
+    gathers + a closed-form 2x2 solve.
+    """
+    x = img.astype(jnp.float32)
+    offs = jnp.arange(-window, window + 1, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(offs, offs, indexing="ij")
+    grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # [W2, 2]
+    # distance weighting as in OpenCV (higher weight at center)
+    w = jnp.exp(-(gx**2 + gy**2) / (window**2)).reshape(-1)
+
+    def refine_one(c):
+        def body(_, q):
+            p = q[None, :] + grid  # [W2, 2]
+            right = _bilinear(x, p + jnp.asarray([1.0, 0.0]))
+            left = _bilinear(x, p - jnp.asarray([1.0, 0.0]))
+            down = _bilinear(x, p + jnp.asarray([0.0, 1.0]))
+            up = _bilinear(x, p - jnp.asarray([0.0, 1.0]))
+            dx = 0.5 * (right - left)
+            dy = 0.5 * (down - up)
+            gxx = jnp.sum(w * dx * dx)
+            gxy = jnp.sum(w * dx * dy)
+            gyy = jnp.sum(w * dy * dy)
+            bx = jnp.sum(w * (dx * dx * p[:, 0] + dx * dy * p[:, 1]))
+            by = jnp.sum(w * (dx * dy * p[:, 0] + dy * dy * p[:, 1]))
+            det = gxx * gyy - gxy * gxy
+            ok = jnp.abs(det) > 1e-9
+            inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            qx = (gyy * bx - gxy * by) * inv_det
+            qy = (gxx * by - gxy * bx) * inv_det
+            q_new = jnp.stack([qx, qy])
+            # clamp the move to the window (reject runaway solves)
+            delta = jnp.clip(q_new - q, -float(window), float(window))
+            return jnp.where(ok, q + delta, q)
+
+        return jax.lax.fori_loop(0, iters, body, c)
+
+    flat = corners.reshape(-1, 2)
+    refined = jax.vmap(refine_one)(flat)
+    return refined.reshape(corners.shape)
+
+
 def detect_markers(
     img: Array, cfg: DetectorConfig = DetectorConfig()
 ) -> Detections:
@@ -297,6 +349,10 @@ def detect_markers(
     fg = adaptive_threshold(img, cfg.adaptive_radius, cfg.adaptive_C)
     labels = label_components(fg, cfg.ccl_rounds)
     quads, cand_valid = extract_quads(labels, fg, cfg)
+    if cfg.subpix_refine:
+        quads = refine_corners_subpix(
+            img, quads, window=cfg.subpix_window, iters=cfg.subpix_iters
+        )
     mids, corners, contrast, border_errs, dict_ok = decode_candidates(
         img, quads, cfg
     )
