@@ -204,3 +204,39 @@ def test_build_from_sequence_and_refine():
         before += np.linalg.norm(np.asarray(problem.landmarks)[slot, :2] - t[:2])
         after += np.linalg.norm(np.asarray(lms)[slot, :2] - t[:2])
     assert after < before, (before, after)
+
+
+def test_pose_graph_api():
+    """models.pose_graph thin API: chain + loop closure."""
+    from aruco_slam_tpu.models import pose_graph
+
+    rng = np.random.default_rng(3)
+    K = 30
+    t = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    true_poses = np.stack(
+        [2 * np.cos(t), 2 * np.sin(t), np.arctan2(np.cos(t), -np.sin(t))], axis=1
+    )
+
+    def rel(a, b):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        return np.array([dx * c + dy * s, -dx * s + dy * c,
+                         np.arctan2(np.sin(b[2] - a[2]), np.cos(b[2] - a[2]))])
+
+    odo = np.stack([rel(true_poses[i], true_poses[i + 1]) for i in range(K - 1)])
+    odo += rng.normal(scale=0.01, size=odo.shape) + np.array([0.005, 0, 0.003])
+    init = np.zeros((K, 3))
+    init[0] = true_poses[0]
+    for i in range(K - 1):
+        c, s = np.cos(init[i, 2]), np.sin(init[i, 2])
+        init[i + 1] = [init[i, 0] + c * odo[i, 0] - s * odo[i, 1],
+                       init[i, 1] + s * odo[i, 0] + c * odo[i, 1],
+                       init[i, 2] + odo[i, 2]]
+    g = pose_graph.build(
+        init, odo, odo_info=1e4,
+        closures=[(K - 1, 0, rel(true_poses[-1], true_poses[0]), 1e4)],
+    )
+    poses, stats = pose_graph.solve(g)
+    err_before = np.linalg.norm(init[:, :2] - true_poses[:, :2], axis=1).mean()
+    err_after = np.linalg.norm(np.asarray(poses)[:, :2] - true_poses[:, :2], axis=1).mean()
+    assert err_after < 0.5 * err_before, (err_before, err_after)
