@@ -134,6 +134,27 @@ def replay_batch(
     return jax.vmap(lambda d: replay(d, config, camera, level, det_cfg))(data)
 
 
+def replay_sharded(
+    data: ReplayData,
+    config: SlamConfig,
+    mesh,
+    camera: Optional[CameraIntrinsics] = None,
+    level: str = "obs",
+    axis: str = "dp",
+) -> ReplayResult:
+    """Data-parallel multi-sequence replay across a device mesh: the batch
+    axis of every field is sharded over ``mesh``'s ``axis``; each device
+    runs its lanes' full replay with no cross-device communication (the
+    reference's one-robot topic bus becomes a sharded array input —
+    SURVEY.md section 5.8)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P(axis))
+    data = jax.tree.map(lambda x: jax.device_put(x, shard), data)
+    with mesh:
+        return replay_batch(data, config, camera, level)
+
+
 def evaluate_sequence(
     seq: Sequence,
     config: SlamConfig,

@@ -126,6 +126,44 @@ def config3_batched(batch=64):
     return {"batch": batch, "frames_per_sec_per_chip": batch * f / dt}
 
 
+def config_image_level(batch=8, duration=10.0):
+    """Full image pipeline throughput: rendered 640x480 frames -> detector
+    -> PnP -> EKF, batched. (Not a numbered BASELINE config; reported as
+    the detection-inclusive counterpart of config 3.)"""
+    cfg = SlamConfig(ekf=EkfConfig(max_landmarks=32, max_observations_per_frame=24))
+    cpu = jax.devices("cpu")[0]
+    seqs = []
+    with jax.default_device(cpu):
+        for s in range(min(batch, 4)):
+            seqs.append(
+                synthetic.generate_sequence(
+                    synthetic.SimParams(duration=duration, seed=s),
+                    level="images",
+                    camera=CAM,
+                )
+            )
+    f, epf = seqs[0].num_frames, seqs[0].enc_per_frame
+    reps = -(-batch // len(seqs))
+    stack = lambda n: np.concatenate([np.stack([getattr(s, n) for s in seqs])] * reps)[:batch]
+    data = runner.ReplayData(
+        enc_w=jnp.asarray(stack("enc_w").reshape(batch, f, epf, 2)),
+        enc_dt=jnp.asarray(stack("enc_dt").reshape(batch, f, epf)),
+        obs_ids=jnp.asarray(stack("obs_ids")),
+        obs_z=jnp.asarray(stack("obs_z")),
+        obs_R=jnp.asarray(stack("obs_R")),
+        obs_valid=jnp.asarray(stack("obs_valid")),
+        images=jnp.asarray(stack("images")),
+    )
+    dt = timeit(lambda d: runner.replay_batch(d, cfg, CAM, "images"), [data], reps=3)
+    # sanity: the pipeline must actually track
+    res = runner.evaluate_sequence(seqs[0], cfg, camera=CAM, level="images")
+    return {
+        "batch": batch,
+        "frames_per_sec_per_chip": batch * f / dt,
+        "single_seq_ate_m": res["ate"],
+    }
+
+
 def config4_ba(n_kf=1000, n_lm=500, iters=10, cg=50):
     problems = []
     for s in range(3):
@@ -182,6 +220,7 @@ def main():
         ("config1_ekf_reference_arena", config1_reference_arena),
         ("config2_loop_100_markers", config2_loop_100),
         ("config3_batched_replay", config3_batched),
+        ("config3b_image_level", config_image_level),
         ("config4_ba_1k_500", config4_ba),
         ("config5_dist_ba_10k_5k", config5_dist_ba),
     ]:

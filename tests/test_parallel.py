@@ -74,3 +74,36 @@ def test_non_divisible_landmark_count(mesh8):
         np.asarray(lms_8)[lm_perm], np.asarray(lms_1), atol=3e-3
     )
     assert np.isfinite(np.asarray(hist)).all()
+
+
+def test_sharded_replay_matches_batched(mesh8):
+    """DP-sharded replay over the mesh == plain vmapped replay."""
+    import jax.numpy as jnp
+
+    from aruco_slam_tpu import runner
+    from aruco_slam_tpu.sim import synthetic
+    from aruco_slam_tpu.utils.config import EkfConfig, SlamConfig
+
+    cfg = SlamConfig(ekf=EkfConfig(max_landmarks=8, max_observations_per_frame=4))
+    seqs = [
+        synthetic.generate_sequence(
+            synthetic.SimParams(duration=3.0, seed=s, max_obs=4)
+        )
+        for s in range(8)
+    ]
+    f, epf = seqs[0].num_frames, seqs[0].enc_per_frame
+    stack = lambda n: np.stack([getattr(s, n) for s in seqs])
+    data = runner.ReplayData(
+        enc_w=jnp.asarray(stack("enc_w").reshape(8, f, epf, 2)),
+        enc_dt=jnp.asarray(stack("enc_dt").reshape(8, f, epf)),
+        obs_ids=jnp.asarray(stack("obs_ids")),
+        obs_z=jnp.asarray(stack("obs_z")),
+        obs_R=jnp.asarray(stack("obs_R")),
+        obs_valid=jnp.asarray(stack("obs_valid")),
+    )
+    plain = runner.replay_batch(data, cfg)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("dp",))
+    sharded = runner.replay_sharded(data, cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded.trajectory), np.asarray(plain.trajectory), atol=1e-6
+    )
