@@ -72,11 +72,15 @@ def cmd_replay(args):
     seq = Sequence.load(args.sequence)
     cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
     res = runner.evaluate_sequence(seq, cfg, camera=cam, level=args.level)
-    if args.log or args.export_map:
+    if args.log or args.export_map or args.plot:
         data = runner.replay_data_from_sequence(seq, args.level)
         result = runner.replay(data, cfg, cam, args.level)
         if args.log:
             slog.write_replay_log(args.log, result)
+        if args.plot:
+            from aruco_slam_tpu import viz
+
+            viz.plot_run(result, seq, args.plot)
         if args.export_map:
             lms, ids, active = ekf.get_map(result.final_state, cfg)
             checkpoint.export_learned_map(
@@ -138,6 +142,7 @@ def main(argv=None):
     p.add_argument("--level", choices=["obs", "corners", "images"], default="obs")
     p.add_argument("--log", help="write per-frame JSONL records here")
     p.add_argument("--export-map", help="write learned map (map.txt schema)")
+    p.add_argument("--plot", help="write a trajectory/map plot (PNG)")
     _add_common(p)
     p.set_defaults(fn=cmd_replay)
 
