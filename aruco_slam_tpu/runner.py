@@ -65,7 +65,52 @@ def replay_data_from_sequence(seq: Sequence, level: str = "obs") -> ReplayData:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "level", "det_cfg"))
+def detect_frames(
+    images: Array, det_cfg: DetectorConfig = DetectorConfig(), chunk: int = 8
+):
+    """Batched detection over a stack of frames ``[..., H, W]``.
+
+    Runs OUTSIDE any scan: detection inside ``lax.scan``/``lax.map`` hits an
+    XLA scheduling pathology on TPU (~3000x slower than the identical
+    computation vmapped at top level — see docs/PERFORMANCE.md). Chunked
+    host loop of jitted vmapped calls keeps peak memory bounded (the quad
+    extractor materializes [chunk, K, H*W] masks).
+
+    Returns (ids [..., K], corners [..., K, 4, 2], valid [..., K]).
+    """
+    lead = images.shape[:-2]
+    h, w = images.shape[-2:]
+    flat = images.reshape(-1, h, w)
+    n = flat.shape[0]
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((n_pad - n, h, w), flat.dtype)], axis=0
+        )
+    fn = jax.jit(
+        jax.vmap(lambda im: detect_markers(im, det_cfg)),
+    )
+    outs = [fn(flat[i: i + chunk]) for i in range(0, n_pad, chunk)]
+    ids = jnp.concatenate([o.ids for o in outs])[:n]
+    corners = jnp.concatenate([o.corners for o in outs])[:n]
+    valid = jnp.concatenate([o.valid for o in outs])[:n]
+    K = ids.shape[-1]
+    return (
+        ids.reshape(*lead, K),
+        corners.reshape(*lead, K, 4, 2),
+        valid.reshape(*lead, K),
+    )
+
+
+def _detections_to_corner_data(data: ReplayData, det_cfg: DetectorConfig) -> ReplayData:
+    ids, corners, valid = detect_frames(data.images, det_cfg)
+    return data._replace(
+        obs_ids=ids, corners_px=corners, obs_valid=valid, images=None,
+        obs_z=jnp.zeros((*ids.shape, 3), corners.dtype),
+        obs_R=jnp.zeros((*ids.shape, 3, 3), corners.dtype),
+    )
+
+
 def replay(
     data: ReplayData,
     config: SlamConfig,
@@ -76,14 +121,26 @@ def replay(
     """Run the full SLAM pipeline over one sequence.
 
     level: "obs" (measurement stream), "corners" (PnP front-end), or
-    "images" (full detection + PnP front-end per frame)."""
+    "images" (full pipeline: batched detection pass, then the jitted
+    corner-level replay scan)."""
+    if level == "images":
+        data = _detections_to_corner_data(data, det_cfg)
+        level = "corners"
+    return _replay_jit(data, config, camera, level)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "level"))
+def _replay_jit(
+    data: ReplayData,
+    config: SlamConfig,
+    camera: Optional[CameraIntrinsics] = None,
+    level: str = "obs",
+) -> ReplayResult:
     state0 = ekf.init_state(config)
 
     def frame_step(state, xs):
         if level == "corners":
             ew, edt, ids, corners, valid = xs
-        elif level == "images":
-            ew, edt, img = xs
         else:
             ew, edt, ids, z, R, valid = xs
 
@@ -95,11 +152,6 @@ def replay(
 
         if level == "corners":
             frame = observations_from_corners(ids, corners, valid, camera, config)
-        elif level == "images":
-            det = detect_markers(img, det_cfg)
-            frame = observations_from_corners(
-                det.ids, det.corners, det.valid, camera, config
-            )
         else:
             frame = ekf.FrameObservations(ids=ids, z=z, R=R, valid=valid)
         state = ekf.update(state, frame, config)
@@ -108,8 +160,6 @@ def replay(
 
     if level == "corners":
         xs = (data.enc_w, data.enc_dt, data.obs_ids, data.corners_px, data.obs_valid)
-    elif level == "images":
-        xs = (data.enc_w, data.enc_dt, data.images)
     else:
         xs = (
             data.enc_w, data.enc_dt, data.obs_ids, data.obs_z, data.obs_R,
@@ -121,7 +171,6 @@ def replay(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config", "level", "det_cfg"))
 def replay_batch(
     data: ReplayData,
     config: SlamConfig,
@@ -131,7 +180,20 @@ def replay_batch(
 ) -> ReplayResult:
     """vmapped multi-sequence replay: every field of ``data`` carries a
     leading batch axis (io.sequence.stack_sequences)."""
-    return jax.vmap(lambda d: replay(d, config, camera, level, det_cfg))(data)
+    if level == "images":
+        data = _detections_to_corner_data(data, det_cfg)
+        level = "corners"
+    return _replay_batch_jit(data, config, camera, level)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "level"))
+def _replay_batch_jit(
+    data: ReplayData,
+    config: SlamConfig,
+    camera: Optional[CameraIntrinsics] = None,
+    level: str = "obs",
+) -> ReplayResult:
+    return jax.vmap(lambda d: _replay_jit(d, config, camera, level))(data)
 
 
 def replay_sharded(
