@@ -65,6 +65,13 @@ def replay_data_from_sequence(seq: Sequence, level: str = "obs") -> ReplayData:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _detect_chunk_jit(det_cfg: DetectorConfig):
+    # jit wrappers must be cached by config, NOT rebuilt per call — a fresh
+    # jit(lambda) is a new cache key and recompiles every invocation.
+    return jax.jit(jax.vmap(lambda im: detect_markers(im, det_cfg)))
+
+
 def detect_frames(
     images: Array, det_cfg: DetectorConfig = DetectorConfig(), chunk: int = 8
 ):
@@ -87,9 +94,7 @@ def detect_frames(
         flat = jnp.concatenate(
             [flat, jnp.zeros((n_pad - n, h, w), flat.dtype)], axis=0
         )
-    fn = jax.jit(
-        jax.vmap(lambda im: detect_markers(im, det_cfg)),
-    )
+    fn = _detect_chunk_jit(det_cfg)
     outs = [fn(flat[i: i + chunk]) for i in range(0, n_pad, chunk)]
     ids = jnp.concatenate([o.ids for o in outs])[:n]
     corners = jnp.concatenate([o.corners for o in outs])[:n]
