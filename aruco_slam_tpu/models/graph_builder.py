@@ -16,25 +16,39 @@ import numpy as np
 from aruco_slam_tpu.models.ba import BAProblem
 
 
-def _integrate_odo(enc_w, enc_dt, kl, kr, b):
-    """Integrate one inter-frame encoder block into a relative SE(2) motion."""
+def _integrate_odo(enc_w, enc_dt, kl, kr, b, q_k=None):
+    """Integrate one inter-frame encoder block into a relative SE(2) motion.
+
+    With ``q_k`` given, also propagates the 3x3 motion covariance through
+    the same process-noise model the EKF predict uses (reference
+    src/aruco_slam.cpp:55-73) — giving each odometry factor a *calibrated*
+    information matrix instead of a hand-tuned constant."""
     x = y = th = 0.0
+    P = np.zeros((3, 3))
     for (wl, wr), dt in zip(enc_w, enc_dt):
         dsl, dsr = kl * dt * wl, kr * dt * wr
         dth = (dsr - dsl) / (2 * b)
         ds = 0.5 * (dsr + dsl)
         tmp = th + 0.5 * dth
-        x += ds * np.cos(tmp)
-        y += ds * np.sin(tmp)
+        c, s = np.cos(tmp), np.sin(tmp)
+        if q_k is not None:
+            H = np.array([[1, 0, -ds * s], [0, 1, ds * c], [0, 0, 1.0]])
+            wkh = (0.5 * kl * dt) * np.array([[c, c], [s, s], [1 / b, -1 / b]])
+            sigma_u = np.diag([q_k * abs(wl), q_k * abs(wr)])
+            P = H @ P @ H.T + wkh @ sigma_u @ wkh.T
+        x += ds * c
+        y += ds * s
         th = np.arctan2(np.sin(th + dth), np.cos(th + dth))
-    return np.array([x, y, th])
+    if q_k is None:
+        return np.array([x, y, th])
+    return np.array([x, y, th]), P
 
 
 def build_from_sequence(
     seq,
     config,
     keyframe_stride: int = 1,
-    odo_info: float = 1e4,
+    odo_info: float | str = 1e4,
     prior_info: float = 1e8,
     dtype=np.float32,
     init_poses=None,
@@ -42,6 +56,12 @@ def build_from_sequence(
 ) -> tuple[BAProblem, np.ndarray]:
     """Returns (problem, landmark_ids) — landmark_ids maps landmark slot ->
     ArUco id for evaluation against ground truth.
+
+    ``odo_info`` is the odometry factor information: a float for a fixed
+    isotropic weight (default 1e4, empirically strong on the benchmark
+    tours), or "auto" to propagate the EKF process-noise model through each
+    inter-keyframe encoder block and use its inverse (principled, but only
+    better when the config's Q_k actually matches the data's noise law).
 
     ``init_poses`` ([F, 3], indexed by frame) and ``init_landmarks``
     (dict aruco_id -> [3]) override the dead-reckoned initialization —
@@ -57,7 +77,10 @@ def build_from_sequence(
 
     # odometry between consecutive keyframes + dead-reckoned initial poses.
     # Skip the first tick overall: it is the reference's is_init_ latch.
+    auto_w = odo_info == "auto"
+    q_k = config.covariance.Q_k if auto_w else None
     odo = np.zeros((K - 1, 3))
+    odo_ws = np.zeros((K - 1, 3, 3))
     poses = np.zeros((K, 3))
     # Initial pose of keyframe 0: integrate from sequence start
     pose0_blocks = enc_w[: f_idx[0] + 1], enc_dt[: f_idx[0] + 1]
@@ -67,11 +90,17 @@ def build_from_sequence(
         odom.kl, odom.kr, odom.b,
     )
     poses[0] = d0
+    eye3 = np.eye(3)
     for n in range(K - 1):
         lo, hi = f_idx[n] + 1, f_idx[n + 1] + 1
         w = np.concatenate(enc_w[lo:hi])
         dt = np.concatenate(enc_dt[lo:hi])
-        odo[n] = _integrate_odo(w, dt, odom.kl, odom.kr, odom.b)
+        if auto_w:
+            odo[n], P = _integrate_odo(w, dt, odom.kl, odom.kr, odom.b, q_k=q_k)
+            odo_ws[n] = np.linalg.inv(P + 1e-8 * eye3)
+        else:
+            odo[n] = _integrate_odo(w, dt, odom.kl, odom.kr, odom.b)
+            odo_ws[n] = odo_info * eye3
         c, s = np.cos(poses[n, 2]), np.sin(poses[n, 2])
         poses[n + 1] = [
             poses[n, 0] + c * odo[n, 0] - s * odo[n, 1],
@@ -128,7 +157,7 @@ def build_from_sequence(
         odo_i=np.arange(K - 1, dtype=np.int32),
         odo_j=np.arange(1, K, dtype=np.int32),
         odo_z=odo.astype(dtype),
-        odo_w=np.tile((odo_info * eye).astype(dtype), (K - 1, 1, 1)),
+        odo_w=odo_ws.astype(dtype),
         odo_valid=np.ones(K - 1, bool),
         prior_w=(prior_info * eye).astype(dtype),
     )
