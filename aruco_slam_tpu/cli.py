@@ -20,26 +20,29 @@ import sys
 
 def _add_common(p):
     p.add_argument("--config", help="YAML config (reference parameters.yaml schema)")
-    p.add_argument("--max-landmarks", type=int, default=64)
-    p.add_argument("--max-obs", type=int, default=16)
+    p.add_argument("--max-landmarks", type=int, default=None,
+                   help="override ekf.max_landmarks (default: config value or 64)")
+    p.add_argument("--max-obs", type=int, default=None,
+                   help="override ekf.max_observations_per_frame")
 
 
 def _load_config(args):
-    from aruco_slam_tpu.utils.config import EkfConfig, SlamConfig, load_config
+    import dataclasses
 
-    if args.config:
-        cfg = load_config(args.config)
-    else:
-        cfg = SlamConfig()
-    return cfg.__class__(
-        **{
-            **{f: getattr(cfg, f) for f in cfg.__dataclass_fields__},
-            "ekf": EkfConfig(
-                max_landmarks=args.max_landmarks,
-                max_observations_per_frame=args.max_obs,
-            ),
-        }
-    )
+    from aruco_slam_tpu.utils.config import SlamConfig, load_config
+
+    cfg = load_config(args.config) if args.config else SlamConfig()
+    # CLI flags override the loaded config only when explicitly given
+    overrides = {}
+    if args.max_landmarks is not None:
+        overrides["max_landmarks"] = args.max_landmarks
+    if args.max_obs is not None:
+        overrides["max_observations_per_frame"] = args.max_obs
+    if overrides:
+        cfg = dataclasses.replace(
+            cfg, ekf=dataclasses.replace(cfg.ekf, **overrides)
+        )
+    return cfg
 
 
 def cmd_simulate(args):
@@ -71,10 +74,12 @@ def cmd_replay(args):
     cfg = _load_config(args)
     seq = Sequence.load(args.sequence)
     cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
-    res = runner.evaluate_sequence(seq, cfg, camera=cam, level=args.level)
+    data = runner.replay_data_from_sequence(seq, args.level)
+    result = runner.replay(data, cfg, cam, args.level)
+    res = runner.evaluate_sequence(
+        seq, cfg, camera=cam, level=args.level, result=result
+    )
     if args.log or args.export_map or args.plot:
-        data = runner.replay_data_from_sequence(seq, args.level)
-        result = runner.replay(data, cfg, cam, args.level)
         if args.log:
             slog.write_replay_log(args.log, result)
         if args.plot:

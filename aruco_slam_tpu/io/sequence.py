@@ -62,6 +62,8 @@ class Sequence:
         return self.obs_ids.shape[1]
 
     def save(self, path: str) -> None:
+        import json
+
         data = {}
         for name in (
             "enc_w", "enc_dt", "obs_ids", "obs_z", "obs_R", "obs_valid",
@@ -72,13 +74,29 @@ class Sequence:
             if v is not None:
                 data[name] = v
         data["enc_per_frame"] = np.asarray(self.enc_per_frame)
+        # meta: JSON scalars as a string; ndarray values stored alongside
+        meta_json = {}
+        for k, v in self.meta.items():
+            if isinstance(v, np.ndarray):
+                data[f"meta_arr_{k}"] = v
+            else:
+                meta_json[k] = list(v) if isinstance(v, tuple) else v
+        data["meta_json"] = np.asarray(json.dumps(meta_json))
         np.savez_compressed(path, **data)
 
     @classmethod
     def load(cls, path: str) -> "Sequence":
+        import json
+
         with np.load(path, allow_pickle=False) as f:
             kw = {k: f[k] for k in f.files}
         kw["enc_per_frame"] = int(kw["enc_per_frame"])
+        meta = {}
+        if "meta_json" in kw:
+            meta.update(json.loads(str(kw.pop("meta_json"))))
+        for k in [k for k in kw if k.startswith("meta_arr_")]:
+            meta[k[len("meta_arr_"):]] = kw.pop(k)
+        kw["meta"] = meta
         return cls(**kw)
 
 

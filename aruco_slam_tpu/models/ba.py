@@ -288,7 +288,6 @@ def solve(
         bs = bp - jax.ops.segment_sum(
             back, problem.obs_kf, num_segments=poses.shape[0]
         )
-        lin = {**lin, "bp": bp}
         dp, _ = _pcg(lin, problem, bs, cg_iters)
         # back-substitute landmarks: dl = Hll^-1 (bl - Hlp dp)
         t = (jnp.swapaxes(lin["Apl"], -1, -2) @ dp[problem.obs_kf][..., None])[

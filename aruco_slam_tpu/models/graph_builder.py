@@ -16,7 +16,7 @@ import numpy as np
 from aruco_slam_tpu.models.ba import BAProblem
 
 
-def _integrate_odo(enc_w, enc_dt, kl, kr, b, q_k=None):
+def _integrate_odo(enc_w, enc_dt, kl, kr, b, q_k=None, kl_both=True):
     """Integrate one inter-frame encoder block into a relative SE(2) motion.
 
     With ``q_k`` given, also propagates the 3x3 motion covariance through
@@ -33,7 +33,12 @@ def _integrate_odo(enc_w, enc_dt, kl, kr, b, q_k=None):
         c, s = np.cos(tmp), np.sin(tmp)
         if q_k is not None:
             H = np.array([[1, 0, -ds * s], [0, 1, ds * c], [0, 0, 1.0]])
-            wkh = (0.5 * kl * dt) * np.array([[c, c], [s, s], [1 / b, -1 / b]])
+            if kl_both:  # quirk (b): reference uses kl for both wheels
+                wkh = (0.5 * kl * dt) * np.array([[c, c], [s, s], [1 / b, -1 / b]])
+            else:
+                wkh = (0.5 * dt) * np.array(
+                    [[kl * c, kr * c], [kl * s, kr * s], [kl / b, -kr / b]]
+                )
             sigma_u = np.diag([q_k * abs(wl), q_k * abs(wr)])
             P = H @ P @ H.T + wkh @ sigma_u @ wkh.T
         x += ds * c
@@ -96,7 +101,10 @@ def build_from_sequence(
         w = np.concatenate(enc_w[lo:hi])
         dt = np.concatenate(enc_dt[lo:hi])
         if auto_w:
-            odo[n], P = _integrate_odo(w, dt, odom.kl, odom.kr, odom.b, q_k=q_k)
+            odo[n], P = _integrate_odo(
+                w, dt, odom.kl, odom.kr, odom.b, q_k=q_k,
+                kl_both=config.compat.process_noise_uses_kl_for_both_wheels,
+            )
             odo_ws[n] = np.linalg.inv(P + 1e-8 * eye3)
         else:
             odo[n] = _integrate_odo(w, dt, odom.kl, odom.kr, odom.b)

@@ -146,31 +146,45 @@ def inv_rodrigues(R: Array) -> Array:
     """3x3 rotation matrix -> axis-angle rotation vector. Batched."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     # Skew-symmetric part
     wx = R[..., 2, 1] - R[..., 1, 2]
     wy = R[..., 0, 2] - R[..., 2, 0]
     wz = R[..., 1, 0] - R[..., 0, 1]
     w = jnp.stack([wx, wy, wz], axis=-1)
-    sin_theta = jnp.sin(theta)
+    # theta via atan2(sin, cos): f32 arccos is catastrophically inaccurate
+    # near -1 (observed 1e-2 angle error at pi - 5e-3); |w| = 2 sin(theta)
+    # from off-diagonal differences is well-conditioned there.
+    sin_theta = 0.5 * jnp.linalg.norm(w, axis=-1)
+    theta = jnp.arctan2(sin_theta, cos_theta)
     small = theta < 1e-6
-    near_pi = jnp.pi - theta < 1e-3
+    near_pi = jnp.pi - theta < 5e-3
     # Generic: axis = w / (2 sin(theta))
     scale = jnp.where(small, 0.5, theta / jnp.where(small, 1.0, 2.0 * sin_theta))
     generic = w * scale[..., None]
-    # Near pi: axis from diagonal of (R + I)/2 = aa^T
-    diag = jnp.stack(
-        [R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1
-    )
-    axis_sq = jnp.clip((diag + 1.0) * 0.5, 0.0, None)
-    axis = jnp.sqrt(axis_sq)
-    # Fix signs using off-diagonal sums (R+R^T)/2 off-diags = 2*ai*aj
-    sxy = R[..., 0, 1] + R[..., 1, 0]
-    sxz = R[..., 0, 2] + R[..., 2, 0]
-    # Take ax >= 0; sign of ay from sxy, az from sxz
-    ay = jnp.where(sxy < 0, -axis[..., 1], axis[..., 1])
-    az = jnp.where(sxz < 0, -axis[..., 2], axis[..., 2])
-    axis_pi = jnp.stack([axis[..., 0], ay, az], axis=-1)
+    # Near pi: R ~= 2 a a^T - I, so a_i a_j = (R_ij + R_ji)/4 and
+    # a_p^2 = (R_pp + 1)/2. Derive the axis from the LARGEST diagonal pivot
+    # (sign conventions from a single pair of off-diagonals are inconsistent
+    # when the pivot component vanishes — e.g. axis (0, b, -b)).
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    sym = 0.25 * (R + jnp.swapaxes(R, -1, -2))  # a_i a_j off-diagonal
+
+    def axis_from_pivot(p):
+        a_p = jnp.sqrt(jnp.clip((diag[..., p] + 1.0) * 0.5, 1e-12, None))
+        comps = [sym[..., p, i] / a_p for i in range(3)]
+        comps[p] = a_p
+        return jnp.stack(comps, axis=-1)
+
+    pivot = jnp.argmax(diag, axis=-1)
+    cand = jnp.stack([axis_from_pivot(p) for p in range(3)], axis=-2)
+    axis_pi = jnp.take_along_axis(cand, pivot[..., None, None], axis=-2)[
+        ..., 0, :
+    ]
+    axis_pi = axis_pi / jnp.linalg.norm(axis_pi, axis=-1, keepdims=True)
+    # Align the sign with the skew part (w = 2 sin(theta) a, sin >= 0):
+    # just below pi the axis sign is NOT arbitrary — the wrong sign is a
+    # rotation by -theta, off by O(pi - theta) in R.
+    flip = jnp.sum(axis_pi * w, axis=-1, keepdims=True) < 0.0
+    axis_pi = jnp.where(flip, -axis_pi, axis_pi)
     near_pi_vec = axis_pi * theta[..., None]
     return jnp.where(near_pi[..., None], near_pi_vec, generic)
 

@@ -152,7 +152,6 @@ def solve_dist(
         Ls = local.landmarks.shape[0]
         prior_pose = local.poses[0]
         eye = jnp.eye(3, dtype=local.poses.dtype)
-        inv_d = 1.0 / jax.lax.psum(1.0, AXIS)
 
         def local_cost(poses, landmarks):
             (r_obs, _, _, w_obs), (r_odo, _, _, w_odo) = ba._residuals(

@@ -228,10 +228,14 @@ def evaluate_sequence(
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
     det_cfg: DetectorConfig = DetectorConfig(),
+    result: Optional[ReplayResult] = None,
 ) -> dict:
-    """Replay + score against the sequence's ground truth. Host-side."""
-    data = replay_data_from_sequence(seq, level)
-    result = replay(data, config, camera, level, det_cfg)
+    """Replay + score against the sequence's ground truth. Host-side.
+    Pass ``result`` to score an already-computed replay instead of
+    re-running it."""
+    if result is None:
+        data = replay_data_from_sequence(seq, level)
+        result = replay(data, config, camera, level, det_cfg)
     traj = np.asarray(result.trajectory)
     out = {"n_landmarks": int(result.final_state.n_landmarks)}
     if seq.true_pose_frames is not None:

@@ -109,3 +109,20 @@ def test_jit_and_vmap_compatible():
     f = jax.jit(jax.vmap(geometry.rodrigues))
     out = f(jnp.zeros((8, 3)))
     assert out.shape == (8, 3, 3)
+
+
+def test_inv_rodrigues_near_pi_exhaustive(rng):
+    """Regression: the near-pi band used to break three ways — wrong axis
+    signs from a single off-diagonal pair (e.g. axis (0, b, -b)), f32 arccos
+    catastrophe near trace=-1, and the theta-sign ambiguity just below pi."""
+    cases = [np.pi * np.array([0, 1, -1]) / np.sqrt(2)]
+    for _ in range(300):
+        v = rng.normal(size=3)
+        v /= np.linalg.norm(v)
+        cases.append(v * (np.pi - abs(rng.normal(scale=4e-3))))
+    worst = 0.0
+    for rv in cases:
+        R = geometry.rodrigues(jnp.asarray(rv, jnp.float32))
+        R2 = geometry.rodrigues(geometry.inv_rodrigues(R))
+        worst = max(worst, float(jnp.abs(R2 - R).max()))
+    assert worst < 5e-4, worst

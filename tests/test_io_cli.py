@@ -125,3 +125,32 @@ def test_cli_simulate_replay_ba(tmp_path):
     assert len(open(log_path).readlines()) > 2
     assert len(map_io.load_map(map_path)) > 0
     cli.main(["ba", "--sequence", seq_path, "--stride", "2", "--iters", "3"])
+
+
+def test_sequence_meta_roundtrip(tmp_path):
+    seq = synthetic.generate_sequence(synthetic.SimParams(duration=3.0, seed=1, max_obs=4))
+    path = str(tmp_path / "m.npz")
+    seq.save(path)
+    from aruco_slam_tpu.io.sequence import Sequence
+
+    s2 = Sequence.load(path)
+    assert s2.meta.get("level") == "obs"
+    assert tuple(s2.meta["start_pose"]) == tuple(seq.meta["start_pose"])
+    np.testing.assert_allclose(
+        s2.meta["true_pose_frames_world"], seq.meta["true_pose_frames_world"]
+    )
+
+
+def test_cli_config_not_clobbered(tmp_path):
+    """--config ekf settings must survive unless CLI flags override them."""
+    import argparse
+
+    yaml_path = tmp_path / "c.yaml"
+    yaml_path.write_text("ekf:\n    max_landmarks: 128\n")
+    args = argparse.Namespace(config=str(yaml_path), max_landmarks=None, max_obs=None)
+    cfg = cli._load_config(args)
+    assert cfg.ekf.max_landmarks == 128
+    args = argparse.Namespace(config=str(yaml_path), max_landmarks=32, max_obs=None)
+    cfg = cli._load_config(args)
+    assert cfg.ekf.max_landmarks == 32
+    assert cfg.ekf.max_observations_per_frame == 16  # untouched default
