@@ -43,6 +43,9 @@ Array = jax.Array
 class DetectorConfig:
     max_candidates: int = 24
     adaptive_radius: int = 7  # window = 2r+1 (OpenCV winSize 15 mid-sweep)
+    # Optional multi-scale sweep (OpenCV sweeps winSize 3..23 step 10):
+    # candidates from every radius are decoded together and deduped by id.
+    adaptive_radii: tuple = ()  # empty = single adaptive_radius
     adaptive_C: float = 7.0
     ccl_rounds: int = 16  # (min-prop + pointer-jump) rounds
     min_component_pixels: int = 80
@@ -342,13 +345,24 @@ def refine_corners_subpix(
     return refined.reshape(corners.shape)
 
 
+def _candidates_at_radius(img: Array, radius: int, cfg: DetectorConfig):
+    fg = adaptive_threshold(img, radius, cfg.adaptive_C)
+    labels = label_components(fg, cfg.ccl_rounds)
+    return extract_quads(labels, fg, cfg)
+
+
 def detect_markers(
     img: Array, cfg: DetectorConfig = DetectorConfig()
 ) -> Detections:
     """Full detection for one grayscale frame [H, W] (uint8 or float)."""
-    fg = adaptive_threshold(img, cfg.adaptive_radius, cfg.adaptive_C)
-    labels = label_components(fg, cfg.ccl_rounds)
-    quads, cand_valid = extract_quads(labels, fg, cfg)
+    radii = cfg.adaptive_radii or (cfg.adaptive_radius,)
+    quad_list, valid_list = [], []
+    for r in radii:
+        q, v = _candidates_at_radius(img, r, cfg)
+        quad_list.append(q)
+        valid_list.append(v)
+    quads = jnp.concatenate(quad_list)
+    cand_valid = jnp.concatenate(valid_list)
     if cfg.subpix_refine:
         quads = refine_corners_subpix(
             img, quads, window=cfg.subpix_window, iters=cfg.subpix_iters
@@ -371,6 +385,12 @@ def detect_markers(
         & sep_ok
         & (contrast >= cfg.min_contrast)
     )
+    # Dedup by id (multi-scale sweeps find the same marker at several radii;
+    # merged components can too): keep the earliest valid slot per id.
+    same_id = (mids[:, None] == mids[None, :]) & valid[:, None] & valid[None, :]
+    earlier = jnp.tril(jnp.ones_like(same_id), k=-1)
+    dup = jnp.any(same_id & earlier, axis=1)
+    valid = valid & jnp.logical_not(dup)
     ids = jnp.where(valid, mids, -1)
     return Detections(ids=ids, corners=corners, valid=valid)
 

@@ -153,3 +153,17 @@ def test_batch_detection_shapes():
     assert det.ids.shape[0] == 2
     assert det.corners.shape == (2, detector.DetectorConfig().max_candidates, 4, 2)
     np.testing.assert_array_equal(np.asarray(det.ids[0]), np.asarray(det.ids[1]))
+
+
+def test_multiscale_sweep_no_duplicates():
+    """adaptive_radii sweep must find the same markers exactly once each
+    (per-id dedup across scales)."""
+    img, arena, cam_pos, R_wc = _render_scene()
+    single = detector.detect_markers(jnp.asarray(img), detector.DetectorConfig())
+    multi = detector.detect_markers(
+        jnp.asarray(img), detector.DetectorConfig(adaptive_radii=(3, 7, 13))
+    )
+    ids_s = sorted(int(i) for i in np.asarray(single.ids)[np.asarray(single.valid)])
+    ids_m = [int(i) for i in np.asarray(multi.ids)[np.asarray(multi.valid)]]
+    assert sorted(ids_m) == sorted(set(ids_m)), "duplicate ids"
+    assert set(ids_s).issubset(set(ids_m))
