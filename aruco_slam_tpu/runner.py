@@ -201,6 +201,37 @@ def _replay_batch_jit(
     return jax.vmap(lambda d: _replay_jit(d, config, camera, level))(data)
 
 
+def build_batch_data(
+    seqs, batch: int | None = None, level: str = "obs"
+) -> ReplayData:
+    """Stack sequences into a batched ReplayData, tiling to ``batch`` lanes
+    (ceil-repeat + slice). The one place that knows the field wiring — used
+    by the benchmarks and the multi-chip dryrun."""
+    if batch is None:
+        batch = len(seqs)
+    f, epf = seqs[0].num_frames, seqs[0].enc_per_frame
+    reps = -(-batch // len(seqs))
+
+    def stack(name):
+        vals = [getattr(s, name) for s in seqs]
+        if any(v is None for v in vals):
+            return None
+        return np.concatenate([np.stack(vals)] * reps)[:batch]
+
+    return ReplayData(
+        enc_w=jnp.asarray(stack("enc_w").reshape(batch, f, epf, 2)),
+        enc_dt=jnp.asarray(stack("enc_dt").reshape(batch, f, epf)),
+        obs_ids=jnp.asarray(stack("obs_ids")),
+        obs_z=jnp.asarray(stack("obs_z")),
+        obs_R=jnp.asarray(stack("obs_R")),
+        obs_valid=jnp.asarray(stack("obs_valid")),
+        corners_px=(
+            jnp.asarray(stack("corners_px")) if level == "corners" else None
+        ),
+        images=(jnp.asarray(stack("images")) if level == "images" else None),
+    )
+
+
 def replay_sharded(
     data: ReplayData,
     config: SlamConfig,

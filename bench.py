@@ -39,20 +39,7 @@ def build_data(batch, duration, cam, level="corners", distinct=8):
         )
         for s in range(min(batch, distinct))
     ]
-    f, epf = seqs[0].num_frames, seqs[0].enc_per_frame
-    reps = -(-batch // len(seqs))
-    stack = lambda name: np.concatenate(
-        [np.stack([getattr(s, name) for s in seqs])] * reps
-    )[:batch]
-    data = runner.ReplayData(
-        enc_w=jnp.asarray(stack("enc_w").reshape(batch, f, epf, 2)),
-        enc_dt=jnp.asarray(stack("enc_dt").reshape(batch, f, epf)),
-        obs_ids=jnp.asarray(stack("obs_ids")),
-        obs_z=jnp.asarray(stack("obs_z")),
-        obs_R=jnp.asarray(stack("obs_R")),
-        obs_valid=jnp.asarray(stack("obs_valid")),
-        corners_px=jnp.asarray(stack("corners_px")) if level == "corners" else None,
-    )
+    data = runner.build_batch_data(seqs, batch, level)
     return data, seqs
 
 
@@ -77,7 +64,7 @@ def bench_reference_numpy(seq, n_frames=150, marker_length=0.27):
     per frame, per-marker iterative PnP (cv2.solvePnP IPPE_SQUARE, the same
     native path the reference uses via estimatePoseSingleMarkers) followed
     by the dense float64 EKF (reference Eigen formulation)."""
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from reference_ekf import ReferenceEKF
 
     try:
@@ -95,6 +82,11 @@ def bench_reference_numpy(seq, n_frames=150, marker_length=0.27):
         dist = np.zeros(5)
     except ImportError:
         cv2 = None
+        print(
+            "WARNING: cv2 missing — baseline omits per-marker PnP, "
+            "vs_baseline not comparable to cv2-equipped runs",
+            file=sys.stderr,
+        )
 
     ekf = ReferenceEKF()
     epf = seq.enc_per_frame

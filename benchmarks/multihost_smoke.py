@@ -56,6 +56,8 @@ def worker(pid: int) -> None:
             iters=5, cg_iters=60, damping=1e-4,
         )
         match = float(np.abs(poses - np.asarray(ref_p)).max())
+        assert match < 1e-5, f"distributed != single-device: {match}"
+        assert err < 0.1, f"distributed solve diverged: pose_err={err}"
         print(
             f"MULTIHOST_OK devices={n_dev} pose_err={err:.4f} "
             f"vs_single_device_max_diff={match:.6f}",
@@ -75,9 +77,14 @@ def main() -> None:
         )
         for i in range(N_PROC)
     ]
-    out, _ = procs[0].communicate(timeout=420)
-    for p in procs[1:]:
-        p.wait(timeout=60)
+    try:
+        out, _ = procs[0].communicate(timeout=420)
+        for p in procs[1:]:
+            p.wait(timeout=60)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     print(out)
     assert "MULTIHOST_OK" in out, out
 

@@ -33,13 +33,14 @@ CAM = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
 
 
 def timeit(fn, inputs, reps=5):
+    """Returns (seconds_per_call, last_output)."""
     out = fn(inputs[0])
     jax.block_until_ready(jax.tree.leaves(out)[0])
     t0 = time.perf_counter()
     for r in range(reps):
         out = fn(inputs[r % len(inputs)])
         jax.block_until_ready(jax.tree.leaves(out)[0])
-    return (time.perf_counter() - t0) / reps
+    return (time.perf_counter() - t0) / reps, out
 
 
 def config1_reference_arena():
@@ -52,7 +53,7 @@ def config1_reference_arena():
     )
     res = runner.evaluate_sequence(seq, cfg)
     data = runner.replay_data_from_sequence(seq)
-    dt = timeit(lambda d: runner.replay(d, cfg), [data], reps=5)
+    dt, _ = timeit(lambda d: runner.replay(d, cfg), [data], reps=5)
     return {
         "ate_m": res["ate"],
         "map_rmse_m": res["map_rmse"],
@@ -105,8 +106,10 @@ def config3_batched(batch=64):
         for s in range(4)
     ]
     f, epf = seqs[0].num_frames, seqs[0].enc_per_frame
-    reps = batch // len(seqs)
-    stack = lambda n: np.concatenate([np.stack([getattr(s, n) for s in seqs])] * reps)
+    reps = -(-batch // len(seqs))
+    stack = lambda n: np.concatenate(
+        [np.stack([getattr(s, n) for s in seqs])] * reps
+    )[:batch]
 
     def make(jit_seed):
         rng = np.random.default_rng(jit_seed)
@@ -122,7 +125,9 @@ def config3_batched(batch=64):
         )
 
     inputs = [make(s) for s in range(3)]
-    dt = timeit(lambda d: runner.replay_batch(d, cfg, CAM, "corners"), inputs, reps=6)
+    dt, _ = timeit(
+        lambda d: runner.replay_batch(d, cfg, CAM, "corners"), inputs, reps=6
+    )
     return {"batch": batch, "frames_per_sec_per_chip": batch * f / dt}
 
 
@@ -142,19 +147,11 @@ def config_image_level(batch=8, duration=10.0):
                     camera=CAM,
                 )
             )
-    f, epf = seqs[0].num_frames, seqs[0].enc_per_frame
-    reps = -(-batch // len(seqs))
-    stack = lambda n: np.concatenate([np.stack([getattr(s, n) for s in seqs])] * reps)[:batch]
-    data = runner.ReplayData(
-        enc_w=jnp.asarray(stack("enc_w").reshape(batch, f, epf, 2)),
-        enc_dt=jnp.asarray(stack("enc_dt").reshape(batch, f, epf)),
-        obs_ids=jnp.asarray(stack("obs_ids")),
-        obs_z=jnp.asarray(stack("obs_z")),
-        obs_R=jnp.asarray(stack("obs_R")),
-        obs_valid=jnp.asarray(stack("obs_valid")),
-        images=jnp.asarray(stack("images")),
+    f = seqs[0].num_frames
+    data = runner.build_batch_data(seqs, batch, "images")
+    dt, _ = timeit(
+        lambda d: runner.replay_batch(d, cfg, CAM, "images"), [data], reps=3
     )
-    dt = timeit(lambda d: runner.replay_batch(d, cfg, CAM, "images"), [data], reps=3)
     # sanity: the pipeline must actually track
     res = runner.evaluate_sequence(seqs[0], cfg, camera=CAM, level="images")
     return {
@@ -172,8 +169,8 @@ def config4_ba(n_kf=1000, n_lm=500, iters=10, cg=50):
         )
         problems.append(jax.tree.map(jnp.asarray, p))
     solve = jax.jit(lambda p: ba.solve(p, iters=iters, cg_iters=cg, damping=1e-4))
-    dt = timeit(solve, problems, reps=6)
-    _, _, stats = solve(problems[0])
+    dt, last = timeit(solve, problems, reps=6)
+    stats = last[2]
     return {
         "keyframes": n_kf,
         "landmarks": n_lm,
@@ -194,17 +191,20 @@ def config5_dist_ba(n_kf=10000, n_lm=5000):
     # single-device timing at full size
     pj = jax.tree.map(jnp.asarray, problem)
     solve = jax.jit(lambda p: ba.solve(p, iters=5, cg_iters=50, damping=1e-4))
-    dt = timeit(solve, [pj], reps=3)
+    dt, _ = timeit(solve, [pj], reps=3)
     out["single_device_gn_iters_per_sec"] = 5 / dt
     if n_dev >= 2:
         sharded, _ = dist_ba.partition_problem(problem, n_dev)
         mesh = mesh_lib.make_mesh(n_dev, axis=dist_ba.AXIS)
-        t0 = time.perf_counter()
-        poses, lms, hist = dist_ba.solve_dist(sharded, mesh, iters=5, cg_iters=50)
+        # same damping as the single-device leg — different LM conditioning
+        # would make the two legs incomparable
+        run = lambda: dist_ba.solve_dist(
+            sharded, mesh, iters=5, cg_iters=50, damping=1e-4
+        )
+        poses, lms, hist = run()
         jax.block_until_ready(poses)
-        warm = time.perf_counter() - t0
         t0 = time.perf_counter()
-        poses, lms, hist = dist_ba.solve_dist(sharded, mesh, iters=5, cg_iters=50)
+        poses, lms, hist = run()
         jax.block_until_ready(poses)
         dt_d = time.perf_counter() - t0
         out["sharded_gn_iters_per_sec"] = 5 / dt_d

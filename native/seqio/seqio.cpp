@@ -154,7 +154,15 @@ void* seq_open(const char* path) {
   seq->map = static_cast<const uint8_t*>(map);
   seq->map_len = st.st_size;
   std::memcpy(&seq->hdr, seq->map, sizeof(Header));
-  if (std::memcmp(seq->hdr.magic, kMagic, 4) != 0 ||
+  // Validate each dimension before multiplying: crafted u32 headers could
+  // otherwise overflow the 64-bit product and alias a small map_len,
+  // enabling out-of-bounds reads in seq_read_frame.
+  constexpr uint64_t kMaxDim = 1u << 20;          // 1M px per side
+  constexpr uint64_t kMaxFrames = 1u << 24;       // 16M frames
+  bool dims_ok = seq->hdr.height > 0 && seq->hdr.width > 0 &&
+                 seq->hdr.height <= kMaxDim && seq->hdr.width <= kMaxDim &&
+                 seq->hdr.n <= kMaxFrames;
+  if (std::memcmp(seq->hdr.magic, kMagic, 4) != 0 || !dims_ok ||
       seq->map_len != sizeof(Header) + (size_t)seq->hdr.n * seq->hdr.height *
                                            seq->hdr.width) {
     munmap(map, st.st_size);
@@ -239,9 +247,15 @@ long seq_prefetch_next(void* prefetcher, uint8_t* out) {
 void seq_prefetch_stop(void* prefetcher) {
   auto* pf = static_cast<Prefetcher*>(prefetcher);
   if (!pf) return;
-  pf->stop.store(true);
-  pf->cv_space.notify_all();
-  pf->cv_ready.notify_all();
+  {
+    // The store+notify must happen under the mutex: a worker that has
+    // evaluated its wait predicate (stop still false) but not yet blocked
+    // would otherwise miss the notification forever and join() would hang.
+    std::lock_guard<std::mutex> lk(pf->mu);
+    pf->stop.store(true);
+    pf->cv_space.notify_all();
+    pf->cv_ready.notify_all();
+  }
   for (auto& t : pf->workers) t.join();
   delete pf;
 }

@@ -125,7 +125,9 @@ def test_image_before_encoder_is_ignored(rng):
     np.testing.assert_allclose(np.asarray(state2.mu), 0.0)
 
 
-def test_full_slam_matches_oracle(rng):
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_full_slam_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
     seq = random_sequence(rng)
     state, oracle = run_both(seq)
     compare(state, oracle)
