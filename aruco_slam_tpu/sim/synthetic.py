@@ -130,8 +130,8 @@ class SimParams:
     # tour profile geometry: rectangle inset from the arena walls
     tour_width: float = 5.1
     tour_height: float = 4.7
-    tour_inset: float = 1.6
-    tour_corner_radius: float = 0.8
+    tour_inset: float = 1.0
+    tour_corner_radius: float = 0.6
     # Default start puts the v0/omega0 loop (radius ~1.2 m) in the middle of
     # the default 5.1 x 4.7 arena.
     start_pose: tuple = (2.55, -3.55, 0.0)
@@ -305,10 +305,15 @@ def generate_sequence(
             rel_th = np.arctan2(
                 np.sin(landmarks[li, 2] - th), np.cos(landmarks[li, 2] - th)
             )
+            # Robot-frame relative coordinates, NO t_r2c term: the camera
+            # offset cancels in the reference pipeline (tvec_z measured from
+            # the camera is rel_x - t_x; the node adds t_x back,
+            # src/aruco_slam.cpp:359) — emitting rel_x + t_x here would
+            # double-count it vs the corner/PnP path.
             z = np.array(
                 [
-                    rel_x[li] + p.t_r2c[0] + rng.normal(scale=sx),
-                    rel_y[li] + p.t_r2c[1] + rng.normal(scale=sx),
+                    rel_x[li] + rng.normal(scale=sx),
+                    rel_y[li] + rng.normal(scale=sx),
                     rel_th + rng.normal(scale=sth),
                 ],
                 np.float32,
@@ -366,14 +371,12 @@ def add_image_stream(
 ) -> Sequence:
     """Render every frame through the full camera model (sim.renderer) —
     the image-level data source for the detection pipeline."""
-    from dataclasses import replace as _replace
-
     from aruco_slam_tpu.sim import renderer
 
     images = renderer.render_sequence_frames(
         seq, marker_map, camera, t_r2c=p.t_r2c, height=height, width=width
     )
-    return _replace(seq, images=images, meta={**seq.meta, "level": "images"})
+    return replace(seq, images=images, meta={**seq.meta, "level": "images"})
 
 
 def camera_to_host(camera) -> tuple:

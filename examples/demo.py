@@ -25,13 +25,11 @@ def main(out_dir="/tmp/aruco_slam_demo"):
     print("simulating 30 s in a 20-marker arena ...")
     seq = synthetic.generate_sequence(synthetic.SimParams(duration=30.0, seed=1))
 
-    print("running EKF-SLAM ...")
-    metrics = runner.evaluate_sequence(seq, cfg)
-    print("  ", metrics)
-
-    print("refining with BA (filter -> smoother) ...")
+    print("running EKF-SLAM + BA (filter -> smoother) ...")
     out = pipeline.ekf_then_ba(seq, cfg)
-    print("   cost:", float(out["stats"].initial_cost), "->",
+    metrics = runner.evaluate_sequence(seq, cfg, result=out["ekf_result"])
+    print("  ", metrics)
+    print("   BA cost:", float(out["stats"].initial_cost), "->",
           float(out["stats"].final_cost))
 
     result = out["ekf_result"]

@@ -139,6 +139,8 @@ class ReferenceEKF:
                 tmp[N:, :N] = sigma_mx
                 tmp[N:, N:] = sigma_mm
                 self.sigma = tmp
-                self.id_map[aid] = (len(self.mu) - 3) // 3 - 1
+                # std::map::insert keeps the FIRST entry for a duplicate id
+                # (src/aruco_slam.cpp:256) — setdefault matches that.
+                self.id_map.setdefault(aid, (len(self.mu) - 3) // 3 - 1)
                 new_observed[aid] = np.zeros(3)  # uninitialized convention
         self.last_observed = new_observed
