@@ -154,3 +154,18 @@ def test_cli_config_not_clobbered(tmp_path):
     cfg = cli._load_config(args)
     assert cfg.ekf.max_landmarks == 32
     assert cfg.ekf.max_observations_per_frame == 16  # untouched default
+
+
+def test_profiler_trace_capture(tmp_path):
+    """utils.logging.trace produces a TensorBoard-readable device trace."""
+    import os
+
+    from aruco_slam_tpu.utils import logging as slog
+
+    logdir = str(tmp_path / "trace")
+    with slog.trace(logdir):
+        _run_short()
+    found = []
+    for root, _, files in os.walk(logdir):
+        found.extend(files)
+    assert any(f.endswith(".trace.json.gz") or "trace" in f for f in found), found
