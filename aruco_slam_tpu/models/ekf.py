@@ -185,6 +185,87 @@ def predict(state: EkfState, control: Control, config: SlamConfig) -> EkfState:
     )
 
 
+def predict_block(state: EkfState, controls: Control, config: SlamConfig) -> EkfState:
+    """Fused predict over a block of encoder ticks (e.g. all ticks between
+    two camera frames).
+
+    Algebraically identical to folding :func:`predict` over the ticks: every
+    per-tick ``Hx`` is identity outside the pose block and ``Qk`` adds only
+    into it, so the composition stays a 3x3 pair —
+
+        A <- H_k A,   Q <- H_k Q H_k^T + Qk_k
+
+    accumulated by a cheap 3-vector/3x3 ``lax.scan``, after which the big
+    [N, N] covariance is touched ONCE (rows' = A sigma[0:3,:], symmetric
+    cols, + Q) instead of once per tick — a ~tick-count reduction in sigma
+    traffic for the replay hot loop.
+
+    The first-encoder latch consumes the first tick of the first block, as
+    in :func:`predict` (reference src/aruco_slam.cpp:24-29).
+    """
+    odom = config.odom
+    cov = config.covariance
+    dtype = state.mu.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    def tick(carry, ctrl):
+        pose, A, Q, initialized = carry
+        wl, wr, dt = ctrl
+        delta_sl = odom.kl * dt * wl
+        delta_sr = odom.kr * dt * wr
+        delta_theta = (delta_sr - delta_sl) / (2.0 * odom.b)
+        delta_s = 0.5 * (delta_sr + delta_sl)
+        tmp_th = pose[2] + 0.5 * delta_theta
+        c, s = jnp.cos(tmp_th), jnp.sin(tmp_th)
+        new_pose = jnp.stack(
+            [
+                pose[0] + delta_s * c,
+                pose[1] + delta_s * s,
+                geometry.wrap_angle(pose[2] + delta_theta),
+            ]
+        )
+        H = eye3.at[0, 2].set(-delta_s * s).at[1, 2].set(delta_s * c)
+        if config.compat.process_noise_uses_kl_for_both_wheels:
+            wkh = (0.5 * odom.kl * dt) * jnp.stack(
+                [
+                    jnp.stack([c, c]),
+                    jnp.stack([s, s]),
+                    jnp.stack([1.0 / odom.b, -1.0 / odom.b]),
+                ]
+            )
+        else:
+            wkh = (0.5 * dt) * jnp.stack(
+                [
+                    jnp.stack([odom.kl * c, odom.kr * c]),
+                    jnp.stack([odom.kl * s, odom.kr * s]),
+                    jnp.stack([odom.kl / odom.b, -odom.kr / odom.b]),
+                ]
+            )
+        sigma_u = jnp.diag(
+            jnp.stack([cov.Q_k * jnp.abs(wl), cov.Q_k * jnp.abs(wr)])
+        )
+        Qk = (wkh @ sigma_u @ wkh.T).astype(dtype)
+        A_new = (H @ A).astype(dtype)
+        Q_new = (H @ Q @ H.T + Qk).astype(dtype)
+        # pre-init latch: this tick contributes nothing
+        pose = jnp.where(initialized, new_pose, pose)
+        A = jnp.where(initialized, A_new, A)
+        Q = jnp.where(initialized, Q_new, Q)
+        return (pose, A, Q, jnp.ones((), bool)), None
+
+    init = (state.mu[:3], eye3, jnp.zeros((3, 3), dtype), state.initialized)
+    (pose, A, Q, _), _ = jax.lax.scan(
+        tick, init, (controls.wl, controls.wr, controls.dt)
+    )
+
+    mu = state.mu.at[:3].set(pose)
+    sigma = state.sigma
+    sigma = sigma.at[:3, :].set(A @ sigma[:3, :])
+    sigma = sigma.at[:, :3].set(sigma[:, :3] @ A.T)
+    sigma = sigma.at[:3, :3].add(Q)
+    return state._replace(mu=mu, sigma=sigma, initialized=jnp.ones((), bool))
+
+
 # ---------------------------------------------------------------------------
 # Update (reference addImage, src/aruco_slam.cpp:76-287)
 # ---------------------------------------------------------------------------

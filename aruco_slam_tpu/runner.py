@@ -149,11 +149,12 @@ def _replay_jit(
         else:
             ew, edt, ids, z, R, valid = xs
 
-        def enc_step(st, e):
-            w, dt = e
-            return ekf.predict(st, ekf.Control(w[0], w[1], dt), config), None
-
-        state, _ = jax.lax.scan(enc_step, state, (ew, edt))
+        # Fused predict over the frame's encoder block: one [N, N] sigma
+        # touch per frame instead of one per tick (bit-exact vs folding
+        # ekf.predict — tests/test_ekf.py).
+        state = ekf.predict_block(
+            state, ekf.Control(ew[:, 0], ew[:, 1], edt), config
+        )
 
         if level == "corners":
             frame = observations_from_corners(ids, corners, valid, camera, config)

@@ -256,3 +256,36 @@ def test_update_is_vmappable(rng):
     states = jax.jit(update, static_argnums=2)(states, frames, cfg)
     assert int(states.n_landmarks[0]) == 1
     assert int(states.n_landmarks[1]) == 1
+
+
+def test_predict_block_matches_sequential(rng):
+    """Fused per-frame predict (predict_block) is bit-exact vs folding
+    predict over the ticks, including the first-encoder latch."""
+    cfg = CFG
+    pred = jax.jit(ekf.predict, static_argnums=2)
+    blk = jax.jit(ekf.predict_block, static_argnums=2)
+    w = rng.uniform(0.5, 3.0, (10, 2)).astype(np.float32)
+    for init in (False, True):
+        state = ekf.init_state(cfg)
+        if init:
+            state = state._replace(initialized=jnp.ones((), bool))
+            # seed some landmarks so sigma has off-pose structure
+            r = random_covariance(rng)
+            state = jax.jit(ekf.update, static_argnums=2)(
+                state,
+                make_obs([3, 5], [np.array([1.0, 0.2, 0.1], np.float32),
+                                  np.array([0.5, -0.4, 0.0], np.float32)], [r, r]),
+                cfg,
+            )
+        s_seq = state
+        for k in range(10):
+            s_seq = pred(
+                s_seq,
+                ekf.Control(jnp.float32(w[k, 0]), jnp.float32(w[k, 1]), jnp.float32(0.01)),
+                cfg,
+            )
+        ctrl = ekf.Control(jnp.asarray(w[:, 0]), jnp.asarray(w[:, 1]),
+                           jnp.full(10, 0.01, jnp.float32))
+        s_blk = blk(state, ctrl, cfg)
+        np.testing.assert_array_equal(np.asarray(s_seq.mu), np.asarray(s_blk.mu))
+        np.testing.assert_array_equal(np.asarray(s_seq.sigma), np.asarray(s_blk.sigma))
