@@ -43,6 +43,21 @@ class CameraIntrinsics(NamedTuple):
             dist=jnp.asarray(dist, dtype),
         )
 
+    @classmethod
+    def from_camera_info(cls, K, D=None, dtype=jnp.float32):
+        """Build intrinsics from sensor_msgs/CameraInfo-style fields: ``K``
+        is the row-major 3x3 (9 floats) and ``D`` the distortion list —
+        the exact parsing the reference node does (src/aruco_slam_node.cpp:
+        121-130: K from msg.K, D from msg.D, padded/truncated to 5)."""
+        import numpy as np
+
+        K = np.asarray(K, float).reshape(3, 3)
+        d = np.zeros(5)
+        if D is not None:
+            D = np.asarray(D, float).ravel()
+            d[: min(5, len(D))] = D[:5]
+        return cls.create(K[0, 0], K[1, 1], K[0, 2], K[1, 2], dist=d, dtype=dtype)
+
     @property
     def matrix(self) -> Array:
         """3x3 K matrix."""

@@ -146,3 +146,17 @@ def test_camera_observation_axis_convention():
     np.testing.assert_allclose(
         np.asarray(obs), [2.0 + 0.07, -0.5 + 0.02, expected_theta], atol=1e-5
     )
+
+
+def test_from_camera_info():
+    """CameraInfo-style construction (reference parseCameraInfo semantics:
+    9-float K row-major, D padded/truncated to 5)."""
+    K = [500.0, 0, 320.0, 0, 505.0, 240.0, 0, 0, 1]
+    cam = CameraIntrinsics.from_camera_info(K, D=[-0.2, 0.05, 0.001])
+    assert float(cam.fx) == 500.0 and float(cam.fy) == 505.0
+    assert float(cam.cx) == 320.0 and float(cam.cy) == 240.0
+    np.testing.assert_allclose(np.asarray(cam.dist), [-0.2, 0.05, 0.001, 0, 0])
+    cam2 = CameraIntrinsics.from_camera_info(K, D=list(range(1, 9)))
+    np.testing.assert_allclose(np.asarray(cam2.dist), [1, 2, 3, 4, 5])
+    cam3 = CameraIntrinsics.from_camera_info(K)
+    np.testing.assert_allclose(np.asarray(cam3.dist), 0.0)
