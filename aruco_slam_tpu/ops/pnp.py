@@ -95,7 +95,21 @@ def _homography_init(corners_norm: Array, obj_xy: Array, marker_length):
     return R, t
 
 
-def _gauss_newton_refine(rvec, tvec, corners_norm, obj_pts, iters: int):
+def _planar_flip(R, t):
+    """Second solution of the two-fold planar-pose ambiguity: reflect the
+    marker normal about the viewing ray (Schweighofer & Pinz) — an init in
+    the other basin for the dual-start refinement."""
+    v = t / jnp.linalg.norm(t)
+    n = R[:, 2]
+    axis_raw = jnp.cross(v, n)
+    s = jnp.linalg.norm(axis_raw)
+    axis = axis_raw / jnp.maximum(s, 1e-9)
+    theta = jnp.arctan2(s, jnp.dot(v, n))
+    R_flip = geometry.rodrigues(axis * (-2.0 * theta))
+    return R_flip @ R
+
+
+def _gauss_newton_refine(R0, tvec, corners_norm, obj_pts, iters: int):
     """Refine the pose on normalized-coordinate reprojection residuals.
 
     Rotation is parameterized incrementally — R <- R0 exp(skew(dw)) — so the
@@ -103,8 +117,8 @@ def _gauss_newton_refine(rvec, tvec, corners_norm, obj_pts, iters: int):
     (no jacfwd: forward-mode would duplicate the whole residual graph 6x).
     Fixed trip count; the 6x6 normal equations solve with the unrolled
     Cholesky, so a whole frame of markers fuses into one program.
+    Returns (R, t, final squared residual).
     """
-    R0 = geometry.rodrigues(rvec)
     eye6 = 1e-9 * jnp.eye(6, dtype=tvec.dtype)
 
     def residual_of(R, t):
@@ -152,7 +166,8 @@ def _gauss_newton_refine(rvec, tvec, corners_norm, obj_pts, iters: int):
         return (R, t), None
 
     (R, t), _ = jax.lax.scan(step, (R0, tvec), None, length=iters)
-    return geometry.inv_rodrigues(R), t
+    final_r, _ = residual_of(R, t)
+    return R, t, jnp.sum(final_r**2)
 
 
 def solve_pnp_square(
@@ -170,10 +185,20 @@ def solve_pnp_square(
     obj_pts = marker_object_points(marker_length, dtype=dtype)
     corners_norm = pixels_to_normalized(corners_px, camera)
     R0, t0 = _homography_init(corners_norm, obj_pts[:, :2], marker_length)
-    rvec0 = geometry.inv_rodrigues(R0)
-    rvec, tvec = _gauss_newton_refine(
-        rvec0, t0, corners_norm, obj_pts, iters=refine_iters
+    # Dual-start refinement: the planar pose is two-fold ambiguous at
+    # shallow view angles (measured ~2% wrong-basin convergence from a
+    # single start) — refine from both candidate rotations and keep the
+    # lower-residual solution, as OpenCV's IPPE_SQUARE does.
+    Ra, ta, ra = _gauss_newton_refine(
+        R0, t0, corners_norm, obj_pts, iters=refine_iters
     )
+    Rb, tb, rb = _gauss_newton_refine(
+        _planar_flip(R0, t0), t0, corners_norm, obj_pts, iters=refine_iters
+    )
+    pick_b = rb < ra
+    R = jnp.where(pick_b, Rb, Ra)
+    tvec = jnp.where(pick_b, tb, ta)
+    rvec = geometry.inv_rodrigues(R)
     # Mean-squared pixel reprojection error, matching the reference's
     # "rmserror" (which is in fact the MSE — totalError/N with squared
     # norms summed, src/aruco_slam.cpp:460-465). Preserved semantics.
