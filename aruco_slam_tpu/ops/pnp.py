@@ -187,17 +187,23 @@ def solve_pnp_square(
     R0, t0 = _homography_init(corners_norm, obj_pts[:, :2], marker_length)
     # Dual-start refinement: the planar pose is two-fold ambiguous at
     # shallow view angles (measured ~2% wrong-basin convergence from a
-    # single start) — refine from both candidate rotations and keep the
-    # lower-residual solution, as OpenCV's IPPE_SQUARE does.
+    # single start) — like OpenCV's IPPE_SQUARE, evaluate both candidate
+    # rotations and keep the lower-residual basin. Cost control: both
+    # starts get a short settle (5 iters, enough for the basins' residuals
+    # to separate), then only the winner runs the remaining iterations.
+    settle = min(5, refine_iters)
     Ra, ta, ra = _gauss_newton_refine(
-        R0, t0, corners_norm, obj_pts, iters=refine_iters
+        R0, t0, corners_norm, obj_pts, iters=settle
     )
     Rb, tb, rb = _gauss_newton_refine(
-        _planar_flip(R0, t0), t0, corners_norm, obj_pts, iters=refine_iters
+        _planar_flip(R0, t0), t0, corners_norm, obj_pts, iters=settle
     )
     pick_b = rb < ra
-    R = jnp.where(pick_b, Rb, Ra)
-    tvec = jnp.where(pick_b, tb, ta)
+    R1 = jnp.where(pick_b, Rb, Ra)
+    t1 = jnp.where(pick_b, tb, ta)
+    R, tvec, _ = _gauss_newton_refine(
+        R1, t1, corners_norm, obj_pts, iters=max(refine_iters - settle, 1)
+    )
     rvec = geometry.inv_rodrigues(R)
     # Mean-squared pixel reprojection error, matching the reference's
     # "rmserror" (which is in fact the MSE — totalError/N with squared
