@@ -27,3 +27,14 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound accumulated compiler state: with ~100+ distinct compilations in
+    one process, jaxlib 0.9's CPU backend_compile occasionally segfaults
+    late in the suite. Dropping live executables between modules keeps the
+    per-process compilation footprint small (costs a few re-compiles for
+    fixtures shared across modules)."""
+    yield
+    jax.clear_caches()
