@@ -23,12 +23,22 @@ def ekf_then_ba(
     camera=None,
     level: str = "obs",
     keyframe_stride: int = 4,
-    ba_iters: int = 12,
-    cg_iters: int = 120,
+    ba_iters: int = 60,
+    cg_iters: int = 400,
     damping: float = 1e-4,
 ):
     """Full offline pipeline. Returns a dict with the EKF result, the BA
-    problem, refined poses/landmarks, landmark ids and BA stats."""
+    problem, refined poses/landmarks, landmark ids and BA stats.
+
+    Default iteration counts are set for full convergence, not speed: the
+    marker-SLAM posterior has a near-flat mode (global orientation is pinned
+    only through the odometry chain back to the prior on keyframe 0), and
+    block-Jacobi PCG crawls along it — on the 100-marker loop benchmark,
+    12 GN x 120 CG leaves ~70% excess map error vs the converged solution
+    (0.37 m vs 0.21 m mean landmark error) even though the total cost agrees
+    to 4 significant figures. 60 GN x 400 CG is converged (map error
+    unchanged vs 300 x 800) and costs ~4 s at 525 keyframes / 100 landmarks
+    on one chip."""
     data = runner.replay_data_from_sequence(seq, level)
     ekf_result = runner.replay(data, config, camera, level)
     traj = np.asarray(ekf_result.trajectory)
