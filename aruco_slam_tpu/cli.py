@@ -104,13 +104,24 @@ def cmd_ba(args):
 
     cfg = _load_config(args)
     seq = Sequence.load(args.sequence)
-    problem, lm_ids = graph_builder.build_from_sequence(
-        seq, cfg, keyframe_stride=args.stride
-    )
-    problem_j = jax.tree.map(jnp.asarray, problem)
-    poses, lms, stats = jax.jit(
-        lambda p: ba.solve(p, iters=args.iters, cg_iters=args.cg_iters)
-    )(problem_j)
+    if args.ekf_init:
+        # filter -> smoother: EKF pass first, BA initialized from its output
+        # (a long drifty dead-reckoned chain can trap Gauss-Newton).
+        from aruco_slam_tpu import pipeline
+
+        out = pipeline.ekf_then_ba(
+            seq, cfg, keyframe_stride=args.stride,
+            ba_iters=args.iters, cg_iters=args.cg_iters,
+        )
+        problem, stats = out["problem"], out["stats"]
+    else:
+        problem, lm_ids = graph_builder.build_from_sequence(
+            seq, cfg, keyframe_stride=args.stride
+        )
+        problem_j = jax.tree.map(jnp.asarray, problem)
+        poses, lms, stats = jax.jit(
+            lambda p: ba.solve(p, iters=args.iters, cg_iters=args.cg_iters)
+        )(problem_j)
     print(
         json.dumps(
             {
@@ -154,8 +165,11 @@ def main(argv=None):
     p = sub.add_parser("ba", help="factor-graph optimization over a sequence")
     p.add_argument("--sequence", required=True)
     p.add_argument("--stride", type=int, default=2)
-    p.add_argument("--iters", type=int, default=8)
-    p.add_argument("--cg-iters", type=int, default=60)
+    p.add_argument("--iters", type=int, default=60)
+    p.add_argument("--cg-iters", type=int, default=400)
+    p.add_argument("--ekf-init", action="store_true",
+                   help="run the EKF first and initialize BA from its "
+                        "trajectory/map (filter -> smoother pipeline)")
     _add_common(p)
     p.set_defaults(fn=cmd_ba)
 
