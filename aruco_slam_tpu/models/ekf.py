@@ -541,6 +541,306 @@ def update(state: EkfState, frame: FrameObservations, config: SlamConfig) -> Ekf
 
 
 # ---------------------------------------------------------------------------
+# Fused frame update — the whole frame's sequential corrections in the
+# observed-slot subspace, one [N, N] covariance touch per frame.
+# ---------------------------------------------------------------------------
+
+
+def update_fused(state: EkfState, frame: FrameObservations, config: SlamConfig) -> EkfState:
+    """Algebraically exact reformulation of :func:`update` (same reference
+    semantics, src/aruco_slam.cpp:76-287) that runs the frame's M sequential
+    per-marker corrections without ever touching the [N, N] covariance
+    inside the sequential chain.
+
+    Why this is possible: the reference linearizes *every* observation of a
+    frame at the frame-start mean (``mu = mu_`` at src/aruco_slam.cpp:88),
+    so all innovations, observation Jacobians, landmark-insert poses, and
+    the stationary-gate decisions are computable upfront. Two structural
+    facts then collapse the chain:
+
+    1. *Inserts* (all first, by the reference's queue order) are
+       congruences sigma' = F sigma F' + additive, with F touching only the
+       pose + new-slot columns. With Q the [N, a] selector of the frame's
+       observed-slot + pose columns (a = 3 + 3M) and Y = sigma0 Q, the
+       running covariance stays in the family
+       sigma = sigma0 + Y V Q' + Q V' Y' + Q W Q', closed under inserts, so
+       the insert chain is [a, 3]-sized recursions on (V, W).
+    2. *Known-landmark corrections* with a shared stale linearization are
+       exactly a block-LDL factorization of the stacked innovation matrix
+       S_big = C G' + R (C = G sigma_ins, [3M, N]): the sequentially-
+       updated S_i of the reference are S_big's Schur-complement diagonals
+       D_i; the posterior covariance is the order-independent batch form
+       sigma_ins - Chat' D^-1 Chat with Chat = L^-1 C; and the stale
+       innovations make the mean correction exactly Chat' D^-1 ze (standard
+       sequential processing would apply a further L^-1 to ze — the
+       reference's stale-mu quirk drops precisely that factor). The
+       per-observation gain norm for the divergence check
+       (src/aruco_slam.cpp:156-175) is ||D_i^-1 Chat_i||_F.
+
+    The sequential chain is therefore M tiny [3M, 3] eliminations plus M
+    tiny subspace insert steps; every N-sized matmul happens once per
+    frame, outside the chain.
+
+    Sequential-vs-fused equivalence is exact in real arithmetic and tested
+    to f32 tolerance (tests/test_fused_update.py). Requires at most one
+    observation per marker id per frame (duplicate ids would alias subspace
+    columns); the front-end guarantees this. Motivation: the sequential
+    scan is dispatch-latency-bound on TPU — 16 dependent [N, N] updates per
+    frame dominate the replay step (docs/PERFORMANCE.md).
+    """
+    max_lm = config.ekf.max_landmarks
+    M = frame.ids.shape[0]
+    dtype = state.mu.dtype
+    N = state.mu.shape[0]
+    a = 3 + 3 * M
+    cfg = config.compat
+
+    # --- identical ordering to `update` ---------------------------------
+    slots = lookup_slots(state.slot_ids, frame.ids)
+    arrival = jnp.arange(M, dtype=jnp.int32)
+    big = jnp.asarray(2_000_000_000, jnp.int32)
+    order_key = jnp.where(frame.valid, slots * M + arrival, big)
+    perm = jnp.argsort(order_key)
+    ids_s = frame.ids[perm]
+    z_s = frame.z[perm].astype(dtype)
+    R_s = frame.R[perm].astype(dtype)
+    valid_s = frame.valid[perm]
+    slots_s = slots[perm]
+
+    mu0 = state.mu
+    S0 = state.sigma
+    n0 = state.n_landmarks
+
+    # --- upfront bookkeeping (all from frame-start state) ---------------
+    known = valid_s & (slots_s >= 0)
+    new_mask = valid_s & (slots_s < 0)
+    new_rank = jnp.cumsum(new_mask.astype(jnp.int32)) - new_mask.astype(jnp.int32)
+    inserted = new_mask & (n0 + new_rank < max_lm)
+    assigned = jnp.clip(n0 + new_rank, 0, max_lm - 1)
+    eff_slot = jnp.where(slots_s >= 0, slots_s, assigned)
+    n_dropped = jnp.sum(new_mask & ~inserted).astype(jnp.int32)
+
+    # Observed-slot subspace selector Q [N, a]: pose block + one 3-block per
+    # (sorted) observation. Blocks of invalid observations may alias real
+    # columns — harmless, their (U, V, W) entries stay exactly zero.
+    base = 3 + 3 * eff_slot
+    col_idx = jnp.concatenate(
+        [jnp.arange(3, dtype=jnp.int32), (base[:, None] + jnp.arange(3)[None, :]).reshape(-1)]
+    )
+    Q = (col_idx[None, :] == jnp.arange(N, dtype=jnp.int32)[:, None]).astype(dtype)
+    Y = S0 @ Q  # [N, a]
+    T = Q.T @ Y  # [a, a]
+    muQ = mu0 @ Q  # [a]
+
+    x, y, th = mu0[0], mu0[1], mu0[2]
+    sth, cth = jnp.sin(th), jnp.cos(th)
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    # Rotation R(th)^T — both Gl of the known update (:140-143) and Gmi of
+    # the insert (:227-245).
+    Rt = jnp.stack(
+        [
+            jnp.stack([cth, sth, zero]),
+            jnp.stack([-sth, cth, zero]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+
+    lm = muQ[3:].reshape(M, 3)  # per-obs landmark state at frame start
+    gdx = lm[:, 0] - x
+    gdy = lm[:, 1] - y
+    gdth = geometry.wrap_angle(lm[:, 2] - th)
+    z_hat = jnp.stack(
+        [gdx * cth + gdy * sth, -gdx * sth + gdy * cth, gdth], axis=1
+    )
+    ze = z_s - z_hat
+    ze = ze.at[:, 2].set(geometry.wrap_angle(ze[:, 2]))
+    zeros_m = jnp.zeros((M,), dtype)
+    Gp = jnp.stack(
+        [
+            jnp.stack([-cth + zeros_m, -sth + zeros_m, -gdx * sth + gdy * cth], axis=1),
+            jnp.stack([sth + zeros_m, -cth + zeros_m, -gdx * cth - gdy * sth], axis=1),
+            jnp.stack([zeros_m, zeros_m, -1.0 + zeros_m], axis=1),
+        ],
+        axis=1,
+    )  # [M, 3, 3]
+
+    # Insert pieces (reference :210-253), all from mu0.
+    ins_dx = cth * z_s[:, 0] - sth * z_s[:, 1]
+    ins_dy = sth * z_s[:, 0] + cth * z_s[:, 1]
+    p_new = jnp.stack(
+        [x + ins_dx, y + ins_dy, geometry.wrap_angle(th + z_s[:, 2])], axis=1
+    )
+    Gsk = jnp.stack(
+        [
+            jnp.stack([-cth + zeros_m, -sth + zeros_m, -sth * ins_dx + cth * ins_dy], axis=1),
+            jnp.stack([sth + zeros_m, -cth + zeros_m, -ins_dx * cth - ins_dy * sth], axis=1),
+            jnp.stack([zeros_m, zeros_m, -1.0 + zeros_m], axis=1),
+        ],
+        axis=1,
+    )  # [M, 3, 3]
+    M3 = -(Rt[None] @ Gsk)  # [M, 3, 3]
+    # The reference's `inner.T` transpose (:241) is a symmetric no-op; the
+    # additive measurement-noise block of the insert:
+    w_add = Rt[None] @ R_s @ Rt.T[None]  # [M, 3, 3]
+
+    # Stationary gate (quirk (c)) from the frozen previous-frame records.
+    lm_iota = jnp.arange(max_lm, dtype=jnp.int32)
+    sel = (lm_iota[None, :] == eff_slot[:, None]) & known[:, None]  # [M, max_lm]
+    f_seen = jnp.any(sel & state.seen_prev[None, :], axis=1)
+    f_last = sel.astype(dtype) @ state.last_obs
+    gate = jnp.zeros((M,), bool)
+    if cfg.stationary_gate:
+        gate = known & f_seen & (
+            jnp.linalg.norm(f_last - z_s, axis=1) < cfg.stationary_gate_eps
+        )
+    ze_div = jnp.linalg.norm(ze, axis=1) >= cfg.divergence_ze_norm
+
+    eye_a = jnp.eye(a, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    # --- phase A: landmark inserts (congruence chain in the subspace) ----
+    # Sorted order puts all new markers first (the reference priority
+    # queue's inverted operator<), so inserts form a prefix. Each insert is
+    # the congruence sigma' = F sigma F' + Q e_j w_add e_j' Q' with
+    # F = I + Q m Q', m = e_j M3 e_pose'; with
+    # sigma = S0 + Y V Q' + Q V' Y' + Q W Q' the chain closes on (V, W):
+    # V' = V + P3 m', W' = W + m B3' + B3 m' + m (Q' sigma Q)_pose m' + w_add.
+    V = jnp.zeros((a, a), dtype)
+    W = jnp.zeros((a, a), dtype)
+    acc_b = jnp.zeros((a,), dtype)
+    for j in range(M):
+        c0, c1 = 3 + 3 * j, 6 + 3 * j
+        insf = inserted[j].astype(dtype)
+        T3 = T[:, :3]
+        P3 = eye_a[:, :3] + V[:, :3]  # [a, 3]
+        B3 = V.T @ T3 + W[:, :3]  # [a, 3]
+        C33 = (T @ P3 + B3)[:3, :]  # [3, 3] pose block of Q' sigma Q
+        m3 = insf * M3[j]
+        V = V.at[:, c0:c1].add(P3 @ m3.T)
+        rowj = m3 @ B3.T  # [3, a]
+        W = W.at[c0:c1, :].add(rowj)
+        W = W.at[:, c0:c1].add(rowj.T)
+        W = W.at[c0:c1, c0:c1].add(m3 @ C33 @ m3.T + insf * w_add[j])
+        acc_b = acc_b.at[c0:c1].add(insf * p_new[j])
+
+    # --- phase B: all known corrections as one block-LDL elimination ----
+    # Sequential Kalman corrections with a shared (stale) linearization
+    # point are algebraically a block-LDL factorization of the stacked
+    # innovation matrix S_big = C G' + R (C = G sigma_ins): the running
+    # S_i are its Schur-complement diagonals D_i, the posterior covariance
+    # is the order-independent batch form sigma_ins - Chat' D^-1 Chat with
+    # Chat = L^-1 C, and the reference's stale innovations make the mean
+    # correction exactly Chat' D^-1 ze (the L^-1 on ze that standard
+    # sequential processing implies is dropped — quirk of src/
+    # aruco_slam.cpp:88). The per-obs gain norm for the divergence check is
+    # ||D_i^-1 Chat_i||_F. The sequential chain is therefore M tiny [3M, 3]
+    # eliminations; nothing N-sized runs sequentially.
+    QS = (eye_a + V.T) @ Y.T + (T @ V + W) @ Q.T  # [a, N] = Q' sigma_ins
+    kf = known.astype(dtype)
+    QS_pose = QS[:3, :]  # [3, N]
+    QS_blk = QS[3:, :].reshape(M, 3, N)
+    C = kf[:, None, None] * (Gp @ QS_pose[None] + Rt[None] @ QS_blk)
+    Cm = C.reshape(3 * M, N)
+    k = 3 * M
+    CQ = Cm @ Q  # [k, a]
+    CQ_pose = CQ[:, :3]
+    CQ_blk = CQ[:, 3:].reshape(k, M, 3)
+    Sb = jnp.einsum("kp,jqp->kjq", CQ_pose, Gp) + jnp.einsum(
+        "kjp,qp->kjq", CQ_blk, Rt
+    )
+    Sb = (Sb * kf[None, :, None]).reshape(k, k)
+    Rblk = kf[:, None, None] * R_s + (1.0 - kf)[:, None, None] * eye3
+    for j in range(M):
+        Sb = Sb.at[3 * j : 3 * j + 3, 3 * j : 3 * j + 3].add(Rblk[j])
+
+    use_pre = known & ~gate  # reject-divergent refines this in-loop
+    rows = jnp.arange(k)
+    Srem = Sb
+    Lmat = jnp.eye(k, dtype=dtype)
+    Linv = jnp.eye(k, dtype=dtype)
+    Dinv_all = jnp.zeros((M, 3, 3), dtype)
+    used_f = jnp.zeros((M,), dtype)
+    div_flags = jnp.zeros((M,), bool)
+    for i in range(M):
+        r0, r1 = 3 * i, 3 * i + 3
+        Dblk = Srem[r0:r1, r0:r1]
+        Dinv = linalg.inv3x3(0.5 * (Dblk + Dblk.T))
+        Dinv_all = Dinv_all.at[i].set(Dinv)
+        if i > 0:
+            lrow = Lmat[r0:r1, :r0]  # [3, 3i]
+            Linv = Linv.at[r0:r1, :r0].set(-(lrow @ Linv[:r0, :r0]))
+        if cfg.reject_divergent:
+            # Gain norm needed *before* deciding to use this observation.
+            chat_i = Linv[r0:r1, :r1] @ Cm[:r1, :]
+            k2 = jnp.sum((Dinv @ chat_i) ** 2)
+            div_i = ze_div[i] | (jnp.sqrt(jnp.maximum(k2, 0.0)) >= cfg.divergence_k_norm)
+            div_flags = div_flags.at[i].set(div_i)
+            use_i = use_pre[i] & ~div_i
+        else:
+            use_i = use_pre[i]
+        uf = use_i.astype(dtype)
+        used_f = used_f.at[i].set(uf)
+        colf = Srem[:, r0:r1] * (rows >= r0)[:, None].astype(dtype)
+        LD = uf * (colf @ Dinv)  # [k, 3]
+        Lmat = Lmat.at[:, r0:r1].add(LD * (rows >= r1)[:, None].astype(dtype))
+        Srem = Srem - LD @ colf.T
+
+    Chat = Linv @ Cm  # [k, N] = L^-1 C
+    chat_b = Chat.reshape(M, 3, N)
+    if cfg.reject_divergent:
+        div = div_flags
+    else:
+        k2 = jnp.sum((Dinv_all @ chat_b) ** 2, axis=(1, 2))
+        div = ze_div | (jnp.sqrt(jnp.maximum(k2, 0.0)) >= cfg.divergence_k_norm)
+    div_cnt = jnp.sum(known & div).astype(jnp.int32)
+
+    Cu = (used_f[:, None, None] * chat_b).reshape(k, N)
+    DC = (Dinv_all @ (used_f[:, None, None] * chat_b)).reshape(k, N)
+    dz = (Dinv_all @ (used_f[:, None] * ze)[..., None])[..., 0].reshape(k)
+
+    # --- one full-state application -------------------------------------
+    YV = Y @ V
+    QW = Q @ W
+    sigma = S0 + YV @ Q.T + Q @ YV.T + QW @ Q.T - Cu.T @ DC
+    mu = mu0 + Q @ acc_b + Cu.T @ dz
+
+    if config.ekf.symmetrize_sigma:
+        sigma = 0.5 * (sigma + sigma.T)
+
+    # --- bookkeeping, identical to the scan path ------------------------
+    processed = known | inserted
+    proc_sel = (lm_iota[None, :] == eff_slot[:, None]) & processed[:, None]
+    new_last_val = jnp.where((known & ~gate)[:, None], z_s, jnp.zeros_like(z_s))
+    touched = jnp.any(proc_sel, axis=0)
+    last_obs = jnp.where(
+        touched[:, None], proc_sel.astype(dtype).T @ new_last_val, state.last_obs
+    )
+    seen = touched
+    ins_sel = (lm_iota[None, :] == assigned[:, None]) & inserted[:, None]
+    slot_ids = jnp.where(
+        jnp.any(ins_sel, axis=0),
+        (ins_sel.astype(jnp.int32).T @ ids_s[:, None])[:, 0],
+        state.slot_ids,
+    )
+    n_lm = n0 + jnp.sum(inserted).astype(jnp.int32)
+
+    def keep_old():
+        return state
+
+    def use_new():
+        return EkfState(
+            mu=mu, sigma=sigma, slot_ids=slot_ids, n_landmarks=n_lm,
+            last_obs=last_obs, seen_prev=seen,
+            initialized=state.initialized,
+            diverged=state.diverged + div_cnt,
+            dropped=state.dropped + n_dropped,
+        )
+
+    return jax.lax.cond(state.initialized, use_new, keep_old)
+
+
+# ---------------------------------------------------------------------------
 # Output accessors (reference toRosPose / toRosMappedMarkers,
 # src/aruco_slam.cpp:378-410,265-281)
 # ---------------------------------------------------------------------------

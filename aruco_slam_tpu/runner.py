@@ -87,7 +87,11 @@ def detect_frames(
     """
     lead = images.shape[:-2]
     h, w = images.shape[-2:]
-    flat = images.reshape(-1, h, w)
+    # One host->device transfer for the whole stack, then slice on-device:
+    # slicing a host (numpy) array per chunk issues one synchronous
+    # transfer per chunk — ~1 s each through a remote-TPU tunnel, which
+    # once turned this loop into 100 s/call (CLAUDE.md gotcha 3).
+    flat = jnp.asarray(images).reshape(-1, h, w)
     n = flat.shape[0]
     n_pad = -(-n // chunk) * chunk
     if n_pad != n:
@@ -160,7 +164,8 @@ def _replay_jit(
             frame = observations_from_corners(ids, corners, valid, camera, config)
         else:
             frame = ekf.FrameObservations(ids=ids, z=z, R=R, valid=valid)
-        state = ekf.update(state, frame, config)
+        upd = ekf.update_fused if config.ekf.fused_update else ekf.update
+        state = upd(state, frame, config)
         pose, cov = ekf.get_pose(state)
         return state, (pose, cov, state.n_landmarks)
 

@@ -91,6 +91,12 @@ class EkfConfig:
     # Re-symmetrize sigma after each update (f32 hygiene; the f64 reference
     # relies on exact symmetric arithmetic it doesn't quite have either).
     symmetrize_sigma: bool = True
+    # Run each frame's sequential per-marker corrections fused in the
+    # observed-slot subspace (models/ekf.update_fused): algebraically exact
+    # vs the sequential scan, one [N, N] covariance touch per frame instead
+    # of one per observation. Requires at most one observation per marker id
+    # per frame (the front-end guarantees this; disable for exotic inputs).
+    fused_update: bool = False
 
 
 @dataclass(frozen=True)
