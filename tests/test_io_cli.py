@@ -127,6 +127,25 @@ def test_cli_simulate_replay_ba(tmp_path):
     cli.main(["ba", "--sequence", seq_path, "--stride", "2", "--iters", "3"])
 
 
+def test_cli_ba_ekf_init(tmp_path, capsys):
+    """--ekf-init routes through the filter->smoother pipeline: the BA
+    starts from the EKF solution, so its initial cost must be at or below
+    the dead-reckoned initialization's on the same sequence."""
+    import json
+
+    seq_path = str(tmp_path / "seq.npz")
+    cli.main(["simulate", "--out", seq_path, "--duration", "6", "--seed", "4"])
+    capsys.readouterr()
+    cli.main(["ba", "--sequence", seq_path, "--stride", "2", "--iters", "3",
+              "--cg-iters", "40"])
+    plain = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cli.main(["ba", "--sequence", seq_path, "--stride", "2", "--iters", "3",
+              "--cg-iters", "40", "--ekf-init"])
+    ekf_init = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ekf_init["keyframes"] == plain["keyframes"]
+    assert ekf_init["initial_cost"] <= plain["initial_cost"] * 1.05
+
+
 def test_sequence_meta_roundtrip(tmp_path):
     seq = synthetic.generate_sequence(synthetic.SimParams(duration=3.0, seed=1, max_obs=4))
     path = str(tmp_path / "m.npz")
