@@ -120,7 +120,8 @@ def cmd_ba(args):
         )
         problem_j = jax.tree.map(jnp.asarray, problem)
         poses, lms, stats = jax.jit(
-            lambda p: ba.solve(p, iters=args.iters, cg_iters=args.cg_iters)
+            lambda p: ba.solve(p, iters=args.iters, cg_iters=args.cg_iters,
+                               adaptive=True, deflate_gauge=True)
         )(problem_j)
     print(
         json.dumps(
@@ -164,9 +165,9 @@ def main(argv=None):
 
     p = sub.add_parser("ba", help="factor-graph optimization over a sequence")
     p.add_argument("--sequence", required=True)
-    p.add_argument("--stride", type=int, default=2)
-    p.add_argument("--iters", type=int, default=60)
-    p.add_argument("--cg-iters", type=int, default=400)
+    p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--cg-iters", type=int, default=200)
     p.add_argument("--ekf-init", action="store_true",
                    help="run the EKF first and initialize BA from its "
                         "trajectory/map (filter -> smoother pipeline)")

@@ -25,16 +25,13 @@ def save_pytree(path: str, tree) -> None:
     """Save any pytree of arrays. Uses orbax when available, else npz."""
     try:
         import orbax.checkpoint as ocp
-
-        path = os.path.abspath(path)
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, tree, force=True)
-        ckptr.wait_until_finished()
-    except (ImportError, Exception) as e:  # pragma: no cover - fallback path
-        if isinstance(e, ImportError):
-            _save_npz(path + ".npz", tree)
-        else:
-            raise
+    except ImportError:  # pragma: no cover - fallback path
+        _save_npz(path + ".npz", tree)
+        return
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
 
 
 def load_pytree(path: str, like):
@@ -42,12 +39,11 @@ def load_pytree(path: str, like):
     structure (an example pytree with matching shapes/dtypes)."""
     try:
         import orbax.checkpoint as ocp
-
-        path = os.path.abspath(path)
-        ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path, like)
     except ImportError:  # pragma: no cover
         return _load_npz(path + ".npz", like)
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, like)
 
 
 def _save_npz(path: str, tree) -> None:

@@ -231,17 +231,54 @@ def _schur_matvec(lin, problem: BAProblem, v):
     return out
 
 
-def _pcg(lin, problem: BAProblem, rhs, iters: int):
+def gauge_rotation_mode(poses: Array) -> Array:
+    """The near-flat eigen-direction of the reduced camera system: a global
+    rotation of all keyframes about the anchored pose 0.
+
+    Global map orientation is pinned only through the odometry chain back to
+    the pose-0 prior, so this mode's curvature is orders of magnitude below
+    the rest of the spectrum and block-Jacobi CG crawls along it
+    (docs/PERFORMANCE.md 'BA convergence note'). Per keyframe k the
+    infinitesimal generator is d(x_k, y_k, th_k)/d(phi) =
+    (-(y_k - y_0), x_k - x_0, 1). Normalized."""
+    d = poses[:, :2] - poses[0, :2]
+    v = jnp.stack([-d[:, 1], d[:, 0], jnp.ones_like(d[:, 0])], axis=-1)
+    return v / jnp.linalg.norm(v)
+
+
+def _pcg(lin, problem: BAProblem, rhs, iters: int, deflate: Array | None = None):
     """Preconditioned CG on the reduced system; block-Jacobi preconditioner
-    from the Hpp diagonal blocks."""
+    from the Hpp diagonal blocks.
+
+    ``deflate`` (optional [K, 3]) is a deflation vector: its 1-D component
+    of the solution is computed directly up front (alpha = v.b / v.Sv — a
+    well-conditioned ratio even when both are tiny) and the Krylov space is
+    kept S-orthogonal to it, so a near-flat mode no longer throttles
+    convergence. Cost: one extra matvec up front, one dot + axpy per
+    iteration."""
     Minv = small_linalg.inv3x3(lin["Hpp_diag"])
 
     def precond(r):
         return (Minv @ r[..., None])[..., 0]
 
-    x0 = jnp.zeros_like(rhs)
-    r0 = rhs
-    z0 = precond(r0)
+    if deflate is not None:
+        v = deflate
+        Sv = _schur_matvec(lin, problem, v)
+        vSv = jnp.sum(v * Sv)
+        safe_vSv = jnp.where(jnp.abs(vSv) < 1e-30, 1e-30, vSv)
+        x0 = v * (jnp.sum(v * rhs) / safe_vSv)
+        r0 = rhs - Sv * (jnp.sum(v * rhs) / safe_vSv)
+
+        def project(z):
+            return z - v * (jnp.sum(Sv * z) / safe_vSv)
+    else:
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs
+
+        def project(z):
+            return z
+
+    z0 = project(precond(r0))
     p0 = z0
 
     def body(carry, _):
@@ -251,7 +288,7 @@ def _pcg(lin, problem: BAProblem, rhs, iters: int):
         alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
         x = x + alpha * p
         r = r - alpha * Sp
-        z = precond(r)
+        z = project(precond(r))
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
         p = z + beta * p
@@ -269,14 +306,29 @@ def solve(
     iters: int = 10,
     cg_iters: int = 50,
     damping: float = 1e-6,
+    adaptive: bool = False,
+    deflate_gauge: bool = False,
 ):
-    """Run Gauss-Newton with Schur-complement CG. Returns
-    (poses, landmarks, BAStats)."""
+    """Run Gauss-Newton / Levenberg-Marquardt with Schur-complement CG.
+    Returns (poses, landmarks, BAStats).
+
+    ``adaptive``: LM accept/reject — re-evaluate the cost after each step;
+    on increase, reject the step and raise the damping 10x (capped), on
+    decrease accept and relax it 2x toward the ``damping`` floor. One extra
+    cost evaluation per iteration; with ``adaptive=False`` the behavior is
+    the round-1 fixed-damping GN, bit-identical.
+
+    ``deflate_gauge``: deflate the near-flat global-rotation gauge mode out
+    of CG and solve its 1-D component directly (see
+    :func:`gauge_rotation_mode`) — closes the block-Jacobi crawl along that
+    mode that previously demanded 60x400 iterations for convergence on
+    loop-closure problems."""
     prior_pose = problem.poses[0]
+    lam_floor = jnp.asarray(damping, problem.poses.dtype)
 
     def gn_step(carry, _):
-        poses, landmarks = carry
-        lin = _linearize(problem, poses, landmarks, damping)
+        poses, landmarks, lam, last_cost = carry
+        lin = _linearize(problem, poses, landmarks, lam)
         # prior residual into bp[0]
         r0 = prior_pose - poses[0]
         r0 = r0.at[2].set(geometry.wrap_angle(r0[2]))
@@ -288,23 +340,39 @@ def solve(
         bs = bp - jax.ops.segment_sum(
             back, problem.obs_kf, num_segments=poses.shape[0]
         )
-        dp, _ = _pcg(lin, problem, bs, cg_iters)
+        deflate = gauge_rotation_mode(poses) if deflate_gauge else None
+        dp, _ = _pcg(lin, problem, bs, cg_iters, deflate=deflate)
         # back-substitute landmarks: dl = Hll^-1 (bl - Hlp dp)
         t = (jnp.swapaxes(lin["Apl"], -1, -2) @ dp[problem.obs_kf][..., None])[
             ..., 0
         ]
         t_lm = jax.ops.segment_sum(t, problem.obs_lm, num_segments=L)
         dl = (lin["Hll_inv"] @ (lin["bl"] - t_lm)[..., None])[..., 0]
-        poses = poses + dp
-        poses = poses.at[:, 2].set(geometry.wrap_angle(poses[:, 2]))
-        landmarks = landmarks + dl
-        landmarks = landmarks.at[:, 2].set(geometry.wrap_angle(landmarks[:, 2]))
-        c = cost(problem, poses, landmarks, prior_pose)
-        return (poses, landmarks), c
+        new_poses = poses + dp
+        new_poses = new_poses.at[:, 2].set(geometry.wrap_angle(new_poses[:, 2]))
+        new_landmarks = landmarks + dl
+        new_landmarks = new_landmarks.at[:, 2].set(
+            geometry.wrap_angle(new_landmarks[:, 2])
+        )
+        c = cost(problem, new_poses, new_landmarks, prior_pose)
+        if adaptive:
+            accept = c <= last_cost
+            poses = jnp.where(accept, new_poses, poses)
+            landmarks = jnp.where(accept, new_landmarks, landmarks)
+            lam = jnp.where(
+                accept,
+                jnp.maximum(lam * 0.5, lam_floor),
+                jnp.minimum(lam * 10.0, 1e4),
+            )
+            c = jnp.where(accept, c, last_cost)
+        else:
+            poses, landmarks = new_poses, new_landmarks
+        return (poses, landmarks, lam, c), c
 
     c0 = cost(problem, problem.poses, problem.landmarks, prior_pose)
-    (poses, landmarks), costs = jax.lax.scan(
-        gn_step, (problem.poses, problem.landmarks), None, length=iters
+    (poses, landmarks, _, _), costs = jax.lax.scan(
+        gn_step, (problem.poses, problem.landmarks, lam_floor, c0), None,
+        length=iters,
     )
     history = jnp.concatenate([c0[None], costs])
     return poses, landmarks, BAStats(

@@ -50,6 +50,11 @@ class DetectorConfig:
     ccl_rounds: int = 16  # (min-prop + pointer-jump) rounds
     min_component_pixels: int = 80
     max_component_fraction: float = 0.2
+    # Corner extraction samples a [W, W] window per candidate (strided when
+    # the component is larger) instead of masking the full image — bounds
+    # peak memory to [batch, K, W^2] and lets image-level replay run at
+    # batch 64.
+    corner_window: int = 128
     cell_samples: int = 3
     max_border_errors: int = 8  # 0.35 * 24, OpenCV default border rate
     max_correction: int = 1  # OpenCV: int(maxCorrectionBits=3 * 0.6 rate)
@@ -154,35 +159,79 @@ def _masked_argmax(score: Array, mask: Array) -> Array:
 def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
     """Top-K components by size -> 4 corner points each.
 
+    Memory-bounded formulation: instead of vmapping masked reductions over
+    the full image per candidate (a [K, H*W] blow-up that capped the batched
+    image pipeline at chunk 8 — VERDICT round 1 item 2), compute per-
+    component bounding boxes with four dense O(HW) scatter-min/max passes,
+    gather one fixed-size ``corner_window``^2 label window per candidate,
+    and run the corner argmax chain on [K, W^2]. Components larger than the
+    window are sampled at stride ceil(extent/W); the <=(stride-1) px corner
+    quantization that introduces is recovered by ``refine_corners_subpix``.
+
     Returns (corners [K, 4, 2] float32, cand_valid [K])."""
     h, w = fg.shape
     n = h * w
+    W = cfg.corner_window
     fg_f = fg.reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.int32)
     counts = jnp.zeros((n,), jnp.int32).at[labels].add(fg_f.astype(jnp.int32))
-    is_root = fg_f & (labels == jnp.arange(n, dtype=jnp.int32))
+    is_root = fg_f & (labels == idx)
     max_pix = jnp.int32(cfg.max_component_fraction * n)
     ok = is_root & (counts >= cfg.min_component_pixels) & (counts <= max_pix)
     score = jnp.where(ok, counts, 0)
     _, roots = jax.lax.top_k(score, cfg.max_candidates)
     cand_valid = score[roots] > 0
 
-    ys = (jnp.arange(n, dtype=jnp.int32) // w).astype(jnp.float32)
-    xs = (jnp.arange(n, dtype=jnp.int32) % w).astype(jnp.float32)
+    # Per-component bounding boxes: dense scatter-min/max keyed by label.
+    # Background pixels scatter sentinels into their own (never-read) slots.
+    ys_i = idx // w
+    xs_i = idx % w
+    big = jnp.int32(n)
+    bb_minx = jnp.full((n,), big, jnp.int32).at[labels].min(
+        jnp.where(fg_f, xs_i, big)
+    )
+    bb_maxx = jnp.full((n,), -1, jnp.int32).at[labels].max(
+        jnp.where(fg_f, xs_i, -1)
+    )
+    bb_miny = jnp.full((n,), big, jnp.int32).at[labels].min(
+        jnp.where(fg_f, ys_i, big)
+    )
+    bb_maxy = jnp.full((n,), -1, jnp.int32).at[labels].max(
+        jnp.where(fg_f, ys_i, -1)
+    )
+
+    labels2d = labels.reshape(h, w)
+    span = jnp.arange(W, dtype=jnp.int32)
 
     def corners_for(root):
-        mask = fg_f & (labels == root)
+        x0, x1 = bb_minx[root], bb_maxx[root]
+        y0, y1 = bb_miny[root], bb_maxy[root]
+        extent = jnp.maximum(x1 - x0, y1 - y0) + 1
+        stride = jnp.maximum((extent + W - 1) // W, 1)
+        wy = jnp.clip(y0 + stride * span, 0, h - 1)
+        wx = jnp.clip(x0 + stride * span, 0, w - 1)
+        lab_w = labels2d[wy[:, None], wx[None, :]]  # [W, W] gather
+        # bg pixels keep their own flat index as label and root is a fg
+        # pixel, so equality alone identifies the component.
+        mask = (lab_w == root).reshape(-1)
+        px = jnp.broadcast_to(
+            wx[None, :].astype(jnp.float32), (W, W)
+        ).reshape(-1)
+        py = jnp.broadcast_to(
+            wy[:, None].astype(jnp.float32), (W, W)
+        ).reshape(-1)
         m = mask.astype(jnp.float32)
         npix = jnp.maximum(jnp.sum(m), 1.0)
-        cx = jnp.sum(xs * m) / npix
-        cy = jnp.sum(ys * m) / npix
-        d0 = (xs - cx) ** 2 + (ys - cy) ** 2
+        cx = jnp.sum(px * m) / npix
+        cy = jnp.sum(py * m) / npix
+        d0 = (px - cx) ** 2 + (py - cy) ** 2
         i0 = _masked_argmax(d0, mask)
-        p0 = jnp.stack([xs[i0], ys[i0]])
-        d1 = (xs - p0[0]) ** 2 + (ys - p0[1]) ** 2
+        p0 = jnp.stack([px[i0], py[i0]])
+        d1 = (px - p0[0]) ** 2 + (py - p0[1]) ** 2
         i2 = _masked_argmax(d1, mask)
-        p2 = jnp.stack([xs[i2], ys[i2]])
+        p2 = jnp.stack([px[i2], py[i2]])
         ex, ey = p2[0] - p0[0], p2[1] - p0[1]
-        cross = ex * (ys - p0[1]) - ey * (xs - p0[0])
+        cross = ex * (py - p0[1]) - ey * (px - p0[0])
         # Winding matters: DICT_ARUCO_ORIGINAL is *closed under vertical
         # flips* (each row stays a codeword), so a mirrored corner order
         # decodes to a wrong-but-valid id instead of being rejected. Corner 1
@@ -191,8 +240,8 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
         # the canonical (0,0),(7,0),(7,7),(0,7) decode square.
         i1 = _masked_argmax(-cross, mask)
         i3 = _masked_argmax(cross, mask)
-        p1 = jnp.stack([xs[i1], ys[i1]])
-        p3 = jnp.stack([xs[i3], ys[i3]])
+        p1 = jnp.stack([px[i1], py[i1]])
+        p3 = jnp.stack([px[i3], py[i3]])
         return jnp.stack([p0, p1, p2, p3])
 
     corners = jax.vmap(corners_for)(roots)

@@ -142,9 +142,17 @@ def solve_dist(
     iters: int = 10,
     cg_iters: int = 50,
     damping: float = 1e-6,
+    adaptive: bool = False,
+    deflate_gauge: bool = False,
 ):
     """Distributed Schur-CG Gauss-Newton. Returns
-    (poses [K,3], landmarks [D*Ls,3], cost_history [iters+1])."""
+    (poses [K,3], landmarks [D*Ls,3], cost_history [iters+1]).
+
+    ``adaptive`` / ``deflate_gauge`` mirror :func:`models.ba.solve` exactly
+    (LM accept/reject; gauge-rotation-mode deflation of the CG) so the
+    sharded solve stays numerically equal to the single-device one. The
+    deflation adds one extra matvec per GN step — i.e. one extra [K, 3]
+    psum — and no other collectives."""
 
     def shard_fn(s: ShardedBAProblem):
         local = _local_problem(s)
@@ -152,6 +160,7 @@ def solve_dist(
         Ls = local.landmarks.shape[0]
         prior_pose = local.poses[0]
         eye = jnp.eye(3, dtype=local.poses.dtype)
+        lam_floor = jnp.asarray(damping, local.poses.dtype)
 
         def local_cost(poses, landmarks):
             (r_obs, _, _, w_obs), (r_odo, _, _, w_odo) = ba._residuals(
@@ -166,7 +175,7 @@ def solve_dist(
             return 0.5 * (jax.lax.psum(c_obs, AXIS) + c_odo + c_pr)
 
         def gn_step(carry, _):
-            poses, landmarks = carry
+            poses, landmarks, lam, last_cost = carry
             prob = local._replace(poses=poses, landmarks=landmarks)
             Hpp_obs, Hll, Apl, bp_obs, bl = ba.obs_linear_blocks(
                 prob, poses, landmarks, K, Ls
@@ -174,9 +183,9 @@ def solve_dist(
             Hpp_obs = jax.lax.psum(Hpp_obs, AXIS)
             bp_obs = jax.lax.psum(bp_obs, AXIS)
             Hpp_odo, Hij, bp_odo = ba.odo_linear_blocks(prob, poses, landmarks, K)
-            Hpp_diag = Hpp_obs + Hpp_odo + damping * eye
+            Hpp_diag = Hpp_obs + Hpp_odo + lam * eye
             Hpp_diag = Hpp_diag.at[0].add(local.prior_w)
-            Hll_inv = small_linalg.inv3x3(Hll + damping * eye)
+            Hll_inv = small_linalg.inv3x3(Hll + lam * eye)
 
             r0 = prior_pose - poses[0]
             r0 = r0.at[2].set(geometry.wrap_angle(r0[2]))
@@ -216,8 +225,24 @@ def solve_dist(
             def precond(r):
                 return (Minv @ r[..., None])[..., 0]
 
-            x0 = jnp.zeros_like(bs)
-            z0 = precond(bs)
+            if deflate_gauge:
+                v = ba.gauge_rotation_mode(poses)
+                Sv = matvec(v)
+                vSv = jnp.sum(v * Sv)
+                safe_vSv = jnp.where(jnp.abs(vSv) < 1e-30, 1e-30, vSv)
+                x0 = v * (jnp.sum(v * bs) / safe_vSv)
+                r0 = bs - Sv * (jnp.sum(v * bs) / safe_vSv)
+
+                def project(z):
+                    return z - v * (jnp.sum(Sv * z) / safe_vSv)
+            else:
+                x0 = jnp.zeros_like(bs)
+                r0 = bs
+
+                def project(z):
+                    return z
+
+            z0 = project(precond(r0))
 
             def cg_body(c, _):
                 x, r, z, p, rz = c
@@ -226,14 +251,14 @@ def solve_dist(
                 alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
                 x = x + alpha * p
                 r = r - alpha * Sp
-                z = precond(r)
+                z = project(precond(r))
                 rz_new = jnp.sum(r * z)
                 beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
                 p = z + beta * p
                 return (x, r, z, p, rz_new), None
 
             (dp, *_), _ = jax.lax.scan(
-                cg_body, (x0, bs, z0, z0, jnp.sum(bs * z0)), None,
+                cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None,
                 length=cg_iters,
             )
 
@@ -242,17 +267,33 @@ def solve_dist(
             t_lm = jax.ops.segment_sum(t, prob.obs_lm, num_segments=Ls)
             dl = (Hll_inv @ (bl - t_lm)[..., None])[..., 0]
 
-            poses = poses + dp
-            poses = poses.at[:, 2].set(geometry.wrap_angle(poses[:, 2]))
-            landmarks = landmarks + dl
-            landmarks = landmarks.at[:, 2].set(
-                geometry.wrap_angle(landmarks[:, 2])
+            new_poses = poses + dp
+            new_poses = new_poses.at[:, 2].set(
+                geometry.wrap_angle(new_poses[:, 2])
             )
-            return (poses, landmarks), local_cost(poses, landmarks)
+            new_landmarks = landmarks + dl
+            new_landmarks = new_landmarks.at[:, 2].set(
+                geometry.wrap_angle(new_landmarks[:, 2])
+            )
+            c = local_cost(new_poses, new_landmarks)
+            if adaptive:
+                accept = c <= last_cost
+                poses = jnp.where(accept, new_poses, poses)
+                landmarks = jnp.where(accept, new_landmarks, landmarks)
+                lam = jnp.where(
+                    accept,
+                    jnp.maximum(lam * 0.5, lam_floor),
+                    jnp.minimum(lam * 10.0, 1e4),
+                )
+                c = jnp.where(accept, c, last_cost)
+            else:
+                poses, landmarks = new_poses, new_landmarks
+            return (poses, landmarks, lam, c), c
 
         c0 = local_cost(local.poses, local.landmarks)
-        (poses, landmarks), costs = jax.lax.scan(
-            gn_step, (local.poses, local.landmarks), None, length=iters
+        (poses, landmarks, _, _), costs = jax.lax.scan(
+            gn_step, (local.poses, local.landmarks, lam_floor, c0), None,
+            length=iters,
         )
         history = jnp.concatenate([c0[None], costs])
         return poses, landmarks, history

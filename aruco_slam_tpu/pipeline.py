@@ -22,23 +22,34 @@ def ekf_then_ba(
     config: SlamConfig,
     camera=None,
     level: str = "obs",
-    keyframe_stride: int = 4,
-    ba_iters: int = 60,
-    cg_iters: int = 400,
+    keyframe_stride: int = 1,
+    ba_iters: int = 20,
+    cg_iters: int = 200,
     damping: float = 1e-4,
+    adaptive: bool = True,
+    deflate_gauge: bool = True,
 ):
     """Full offline pipeline. Returns a dict with the EKF result, the BA
     problem, refined poses/landmarks, landmark ids and BA stats.
 
-    Default iteration counts are set for full convergence, not speed: the
-    marker-SLAM posterior has a near-flat mode (global orientation is pinned
-    only through the odometry chain back to the prior on keyframe 0), and
-    block-Jacobi PCG crawls along it — on the 100-marker loop benchmark,
-    12 GN x 120 CG leaves ~70% excess map error vs the converged solution
-    (0.37 m vs 0.21 m mean landmark error) even though the total cost agrees
-    to 4 significant figures. 60 GN x 400 CG is converged (map error
-    unchanged vs 300 x 800) and costs ~4 s at 525 keyframes / 100 landmarks
-    on one chip."""
+    Defaults are set from the round-2 config-2 study (benchmarks/config2_*.py
+    probes):
+
+    - The marker-SLAM posterior has a near-flat mode (global orientation is
+      pinned only through the odometry chain back to the prior on keyframe
+      0) and block-Jacobi PCG crawls along it. ``deflate_gauge=True`` solves
+      that 1-D component directly and keeps the Krylov space S-orthogonal to
+      it: 20 GN x 200 CG then matches what plain GN needed 60 x 400 for
+      (a 6x iteration saving at equal solution).
+    - The remaining error floor at keyframe_stride=4 (0.21 m mean landmark
+      error on the 100-marker loop) is *posterior-side*, not solver-side — a
+      dense float64 exact-GN oracle stalls at the same 0.2138 m (see
+      benchmarks/config2_oracle_probe.py). Densifying the factor graph to
+      ``keyframe_stride=1`` stiffens the flat "slow bend" valley and pulls
+      the MAP solution to 0.131 m — within 10% of the 0.12 m reached from a
+      ground-truth init.
+    - ``adaptive=True`` (LM accept/reject) guards the larger stride-1
+      system against occasional cost-increasing steps at low damping."""
     data = runner.replay_data_from_sequence(seq, level)
     ekf_result = runner.replay(data, config, camera, level)
     traj = np.asarray(ekf_result.trajectory)
@@ -57,8 +68,10 @@ def ekf_then_ba(
     )
     problem_j = jax.tree.map(jnp.asarray, problem)
     poses, landmarks, stats = jax.jit(
-        lambda p: ba.solve(p, iters=ba_iters, cg_iters=cg_iters, damping=damping),
-        static_argnums=(),
+        lambda p: ba.solve(
+            p, iters=ba_iters, cg_iters=cg_iters, damping=damping,
+            adaptive=adaptive, deflate_gauge=deflate_gauge,
+        ),
     )(problem_j)
     return {
         "ekf_result": ekf_result,

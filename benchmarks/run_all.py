@@ -76,7 +76,10 @@ def config2_loop_100():
         marker_map=arena,
     )
     res = runner.evaluate_sequence(seq, cfg)
-    out = pipeline.ekf_then_ba(seq, cfg, keyframe_stride=4)
+    t0 = time.time()
+    out = pipeline.ekf_then_ba(seq, cfg)
+    jax.block_until_ready(out["poses"])
+    ba_wall = time.time() - t0
     id_to_true = {
         int(i): seq.true_landmarks[k] for k, i in enumerate(seq.true_landmark_ids)
     }
@@ -93,6 +96,7 @@ def config2_loop_100():
         "ekf_ate_m": res["ate"],
         "ekf_map_rmse_m": res["map_rmse"],
         "ba_map_err_m": ba_err,
+        "ba_wall_s": ba_wall,
         "n_landmarks": res["n_landmarks"],
     }
 

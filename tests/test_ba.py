@@ -240,3 +240,67 @@ def test_pose_graph_api():
     err_before = np.linalg.norm(init[:, :2] - true_poses[:, :2], axis=1).mean()
     err_after = np.linalg.norm(np.asarray(poses)[:, :2] - true_poses[:, :2], axis=1).mean()
     assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+def _rotate_about_anchor(poses, lms, phi):
+    """Displace a solution along the near-flat gauge mode: rotate every
+    pose k>=1 and every landmark about pose 0's position by phi, keeping
+    pose 0 itself fixed (the prior anchors pose 0 at its init, so rotating
+    it too would be an exact gauge transform with zero cost gradient; with
+    pose 0 held, only the first odometry factors resist — the flattest
+    non-null direction of the posterior)."""
+    c, s = np.cos(phi), np.sin(phi)
+    R = np.array([[c, -s], [s, c]])
+    anchor = poses[0, :2]
+    p = poses.copy()
+    p[1:, :2] = (poses[1:, :2] - anchor) @ R.T + anchor
+    p[1:, 2] = poses[1:, 2] + phi
+    l = lms.copy()
+    l[:, :2] = (lms[:, :2] - anchor) @ R.T + anchor
+    l[:, 2] = lms[:, 2] + phi
+    return p, l
+
+
+def test_gauge_deflation_recovers_flat_mode():
+    """Init displaced along the global-rotation gauge mode: block-Jacobi CG
+    crawls (docs/PERFORMANCE.md 'BA convergence note'), the deflated solve
+    must recover it in a handful of iterations."""
+    problem, true_poses, true_lms = graph_builder.synthetic_ba_problem(
+        n_keyframes=200, n_landmarks=60, obs_per_kf=4, obs_sigma=0.02,
+        odo_sigma=0.1, init_noise=0.0, seed=9
+    )
+    p0, l0 = _rotate_about_anchor(
+        np.asarray(problem.poses), np.asarray(problem.landmarks), 0.1
+    )
+    problem = problem._replace(
+        poses=jnp.asarray(p0, jnp.float32), landmarks=jnp.asarray(l0, jnp.float32)
+    )
+    # tight budget: 3 GN x 30 CG (measured: plain 0.25 m, deflated 0.10 m)
+    kw = dict(iters=3, cg_iters=30, damping=1e-6)
+    _, lms_plain, _ = jax.jit(lambda p: ba.solve(p, **kw))(problem)
+    _, lms_defl, _ = jax.jit(
+        lambda p: ba.solve(p, deflate_gauge=True, **kw)
+    )(problem)
+    err_plain = np.linalg.norm(
+        np.asarray(lms_plain)[:, :2] - true_lms[:, :2], axis=1
+    ).mean()
+    err_defl = np.linalg.norm(
+        np.asarray(lms_defl)[:, :2] - true_lms[:, :2], axis=1
+    ).mean()
+    assert err_defl < 0.12, err_defl
+    assert err_defl < 0.5 * err_plain, (err_plain, err_defl)
+
+
+def test_adaptive_lm_rejects_bad_steps():
+    """A hostile init (large noise) with low damping: fixed-damping GN can
+    oscillate/diverge, adaptive LM must end at a cost no worse and keep the
+    history monotone non-increasing after the first accept."""
+    problem, _, _ = graph_builder.synthetic_ba_problem(
+        n_keyframes=40, n_landmarks=20, obs_per_kf=5, init_noise=0.6, seed=11
+    )
+    problem = jax.tree.map(jnp.asarray, problem)
+    _, _, stats_ad = ba.solve(problem, iters=10, cg_iters=40, damping=1e-6,
+                              adaptive=True)
+    hist = np.asarray(stats_ad.cost_history)
+    assert np.all(np.diff(hist) <= 1e-4 * hist[0]), hist
+    assert hist[-1] < hist[0]

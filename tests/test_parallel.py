@@ -76,6 +76,77 @@ def test_non_divisible_landmark_count(mesh8):
     assert np.isfinite(np.asarray(hist)).all()
 
 
+def _compiled_hlo(mesh, sharded, iters, cg_iters):
+    """Optimized HLO text of the distributed solve at the given trip counts."""
+    from jax.sharding import PartitionSpec as P
+
+    fn = lambda s: dist_ba.solve_dist(
+        s, mesh, iters=iters, cg_iters=cg_iters, damping=1e-4
+    )
+    # solve_dist jits internally; lower the same shard_map program here so we
+    # can inspect the compiled module.
+    return (
+        jax.jit(fn)
+        .lower(sharded)
+        .compile()
+        .as_text()
+    )
+
+
+def _collective_lines(hlo: str):
+    kinds = (
+        "all-reduce", "all-gather", "reduce-scatter", "collective-permute",
+        "all-to-all",
+    )
+    out = {k: [] for k in kinds}
+    for line in hlo.splitlines():
+        s = line.strip()
+        # instruction lines look like "%name = type op(...)"; fusion wrappers
+        # like all-reduce-start/done count as their base op
+        for k in kinds:
+            if f" {k}(" in s or f" {k}-start(" in s:
+                out[k].append(s)
+    return out
+
+
+def test_collective_count_matches_design(mesh8):
+    """The compiled distributed-BA program's collective set must stay at the
+    designed level (SURVEY.md section 4.3: 'measure collective counts rather
+    than wall time in CI'):
+
+    - psum (all-reduce) only — no all-gather / reduce-scatter /
+      collective-permute / all-to-all anywhere;
+    - a small constant number of all-reduce instructions (design: 1 inside
+      the CG loop body, Hpp/bp/bs once per GN step, cost scalars — XLA's
+      combiner may merge some, so assert a bound, not equality);
+    - the instruction count is CONSTANT in both trip counts: collectives
+      live in loop bodies, so per-iteration traffic is exactly the designed
+      one-[K,3]-psum per CG iteration, not something that scales with
+      cg_iters.
+    """
+    problem, _, _ = graph_builder.synthetic_ba_problem(
+        n_keyframes=24, n_landmarks=16, obs_per_kf=4, seed=7
+    )
+    sharded, _ = dist_ba.partition_problem(problem, 8)
+
+    hlo_small = _compiled_hlo(mesh8, sharded, iters=2, cg_iters=8)
+    coll_small = _collective_lines(hlo_small)
+    for kind in ("all-gather", "reduce-scatter", "collective-permute", "all-to-all"):
+        assert not coll_small[kind], f"unexpected {kind}: {coll_small[kind][:2]}"
+    n_small = len(coll_small["all-reduce"])
+    assert 1 <= n_small <= 6, (
+        f"designed <=6 all-reduce instructions (1 CG-body psum + GN-step "
+        f"reductions + cost scalars), got {n_small}"
+    )
+
+    hlo_big = _compiled_hlo(mesh8, sharded, iters=5, cg_iters=64)
+    n_big = len(_collective_lines(hlo_big)["all-reduce"])
+    assert n_big == n_small, (
+        f"all-reduce count must not scale with trip counts "
+        f"(got {n_small} at 2x8 vs {n_big} at 5x64)"
+    )
+
+
 def test_sharded_replay_matches_batched(mesh8):
     """DP-sharded replay over the mesh == plain vmapped replay."""
     import jax.numpy as jnp
