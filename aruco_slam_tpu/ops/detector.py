@@ -47,7 +47,14 @@ class DetectorConfig:
     # candidates from every radius are decoded together and deduped by id.
     adaptive_radii: tuple = ()  # empty = single adaptive_radius
     adaptive_C: float = 7.0
-    ccl_rounds: int = 16  # (min-prop + pointer-jump) rounds
+    # CCL rounds: one 8-neighbor min + 4 directional segmented run-scans
+    # each. Rendered marker scenes converge by 4 (benchmarks/
+    # ccl_oracle_probe.py); 8 doubles that margin. Only extreme staircase
+    # geodesics (a very close, strongly tilted marker ring) need more.
+    ccl_rounds: int = 8
+    # CCL backend: None = auto (Pallas VMEM-resident kernel on TPU for
+    # (8,128)-tile-aligned frames, XLA scans otherwise); True/False force.
+    use_pallas_ccl: bool | None = None
     min_component_pixels: int = 80
     max_component_fraction: float = 0.2
     # Corner extraction samples a [W, W] window per candidate (strided when
@@ -103,8 +110,38 @@ def adaptive_threshold(img: Array, radius: int, C: float) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def _seg_min_scan(lab: Array, fg: Array, big, axis: int, reverse: bool) -> Array:
+    """Min-propagate labels along contiguous foreground runs of one axis.
+
+    Segmented min scan: background pixels act as segment boundaries
+    (value=sentinel, reset flag), so a label spreads across an entire
+    horizontal/vertical run in one O(log n) scan instead of 1 px/round.
+    """
+    vals = jnp.where(fg, lab, big)
+    flags = ~fg
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+
+    out, _ = jax.lax.associative_scan(
+        comb, (vals, flags), axis=axis, reverse=reverse
+    )
+    return jnp.where(fg, jnp.minimum(lab, out), lab)
+
+
 def label_components(fg: Array, rounds: int) -> Array:
-    """8-connected CCL by min-label propagation + pointer jumping.
+    """8-connected CCL by min-label propagation with run-scan acceleration.
+
+    Each round: one 8-neighbor min step (handles diagonal links, 1 px) then
+    segmented min scans along rows and columns in both directions (spreads a
+    label across whole runs at once). A label travels roughly one component
+    "turn" per round, so rounds bounds the number of staircase turns in the
+    worst geodesic, not its pixel length. Pure rolls/scans — no gathers: the
+    previous pointer-jumping formulation (label <- label[label]) spent
+    ~120 ms/frame in 48 full-image random gathers on TPU; this one is
+    bandwidth-bound.
 
     Returns flat labels [H*W]; each foreground pixel's label converges to
     the min flat index in its component; background keeps its own index.
@@ -136,12 +173,11 @@ def label_components(fg: Array, rounds: int) -> Array:
 
     def round_fn(_, lab):
         lab = neighbor_min(lab)
-        # pointer jump thrice: label <- label[label]
-        flat = lab.reshape(-1)
-        flat = flat[flat]
-        flat = flat[flat]
-        flat = flat[flat]
-        return flat.reshape(h, w)
+        lab = _seg_min_scan(lab, fg, big, axis=1, reverse=False)
+        lab = _seg_min_scan(lab, fg, big, axis=1, reverse=True)
+        lab = _seg_min_scan(lab, fg, big, axis=0, reverse=False)
+        lab = _seg_min_scan(lab, fg, big, axis=0, reverse=True)
+        return lab
 
     labels = jax.lax.fori_loop(0, rounds, round_fn, idx)
     return labels.reshape(-1)
@@ -394,9 +430,27 @@ def refine_corners_subpix(
     return refined.reshape(corners.shape)
 
 
+def _label_components_dispatch(fg: Array, cfg: DetectorConfig) -> Array:
+    """Pick the CCL backend: the VMEM-resident Pallas kernel on TPU
+    (0.65 ms/frame vs 14 ms for the XLA scan formulation at 640x480 —
+    benchmarks/ccl_pallas_probe.py; results bit-identical), the XLA
+    scan version elsewhere or for tile-unaligned shapes."""
+    h, w = fg.shape
+    use_pallas = cfg.use_pallas_ccl
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu" and h % 8 == 0 and w % 128 == 0
+        )
+    if use_pallas:
+        from aruco_slam_tpu.ops.kernels import ccl as ccl_kernel
+
+        return ccl_kernel.label_components_tpu(fg, cfg.ccl_rounds)
+    return label_components(fg, cfg.ccl_rounds)
+
+
 def _candidates_at_radius(img: Array, radius: int, cfg: DetectorConfig):
     fg = adaptive_threshold(img, radius, cfg.adaptive_C)
-    labels = label_components(fg, cfg.ccl_rounds)
+    labels = _label_components_dispatch(fg, cfg)
     return extract_quads(labels, fg, cfg)
 
 

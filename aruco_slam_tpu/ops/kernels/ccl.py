@@ -1,0 +1,134 @@
+"""Pallas TPU kernel: VMEM-resident connected-component labeling.
+
+The XLA formulation of ``ops.detector.label_components`` round-trips the
+full label image through HBM on every shift/scan step (~190 us per
+elementwise pass at 480x640, ~1.5 ms per round measured — see
+benchmarks/ccl_micro_probe2.py), and the *previous* pointer-jumping
+formulation spent 2.6 ms per full-image gather (48 of them = ~120 ms per
+frame; gathers are lane-serial on TPU). This kernel keeps the label image
+(1.2 MB at 640x480 int32 — far under the 16 MB VMEM budget) on-chip for
+ALL rounds: HBM traffic is one read of the mask and one write of the
+labels per frame, and every propagation step runs at VPU rate.
+
+Algorithm is identical to the XLA version (so results are bit-identical,
+asserted in tests/test_pallas_kernels.py): per round an 8-neighbor
+min-propagation (diagonal links) followed by segmented min *run scans*
+along rows then columns in both directions (a label crosses a whole
+horizontal/vertical run per scan — Hillis-Steele with background pixels as
+segment boundaries). Shifts are built from jnp.roll + iota edge masks:
+pure elementwise/VPU ops, no gathers, no scatters, everything rank-2
+(Mosaic layout constraints, see CLAUDE.md).
+
+Replaces the hot half of cv::aruco::detectMarkers
+(reference src/aruco_slam.cpp:313) at kernel level.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _shift(x: Array, dy: int, dx: int, fill, row_ids: Array, col_ids: Array):
+    """Shift a [H, W] array by (dy, dx) — positive = toward higher index —
+    filling vacated edges, via roll + iota masks (no slicing/concat: static
+    full-tile ops keep Mosaic layouts trivial)."""
+    h, w = x.shape
+    y = x
+    if dy:
+        y = jnp.roll(y, dy, axis=0)
+        if dy > 0:
+            y = jnp.where(row_ids < dy, fill, y)
+        else:
+            y = jnp.where(row_ids >= h + dy, fill, y)
+    if dx:
+        y = jnp.roll(y, dx, axis=1)
+        if dx > 0:
+            y = jnp.where(col_ids < dx, fill, y)
+        else:
+            y = jnp.where(col_ids >= w + dx, fill, y)
+    return y
+
+
+def _ccl_kernel(fg_ref, out_ref, *, rounds: int, h: int, w: int):
+    big = jnp.int32(h * w)
+    one = jnp.int32(1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    fgm = fg_ref[:] > 0  # bool mask in VMEM
+    idx = row_ids * w + col_ids
+
+    def shift(x, dy, dx, fill):
+        return _shift(x, dy, dx, fill, row_ids, col_ids)
+
+    def neighbor_min(lab):
+        lab_m = jnp.where(fgm, lab, big)
+        best = lab_m
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                best = jnp.minimum(best, shift(lab_m, dy, dx, big))
+        return jnp.where(fgm, jnp.minimum(lab, best), lab)
+
+    def seg_scan(lab, axis, reverse):
+        """Segmented inclusive min-scan along ``axis`` (background = segment
+        boundary), Hillis-Steele: log2(extent) doubling steps."""
+        v = jnp.where(fgm, lab, big)
+        f = jnp.where(fgm, jnp.int32(0), one)  # boundary flag as i32
+        extent = (h, w)[axis]
+        s = 1
+        while s < extent:
+            d = -s if reverse else s
+            if axis == 0:
+                vs = shift(v, d, 0, big)
+                fs = shift(f, d, 0, one)
+            else:
+                vs = shift(v, 0, d, big)
+                fs = shift(f, 0, d, one)
+            v = jnp.where(f > 0, v, jnp.minimum(v, vs))
+            f = jnp.maximum(f, fs)
+            s *= 2
+        return jnp.where(fgm, jnp.minimum(lab, v), lab)
+
+    def round_fn(_, lab):
+        # fori_loop (single homogeneous [H, W] i32 carry) instead of Python
+        # unrolling: Mosaic stack-allocates the temporaries of every unrolled
+        # round simultaneously (8 rounds = 53 MB > 16 MB VMEM); the loop
+        # bounds live scratch to one round.
+        lab = neighbor_min(lab)
+        lab = seg_scan(lab, 1, False)
+        lab = seg_scan(lab, 1, True)
+        lab = seg_scan(lab, 0, False)
+        lab = seg_scan(lab, 0, True)
+        return lab
+
+    out_ref[:] = jax.lax.fori_loop(0, rounds, round_fn, idx)
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "interpret"))
+def label_components_tpu(fg: Array, rounds: int, interpret: bool = False) -> Array:
+    """VMEM-resident CCL for one [H, W] bool mask. Returns flat labels
+    [H*W] with the same convention as ``detector.label_components`` (fg
+    pixel -> min flat index of its component, bg pixel -> own index).
+
+    H must be a multiple of 8 and W a multiple of 128 (VPU tiling); the
+    camera formats used here (640x480 et al.) already are.
+    """
+    h, w = fg.shape
+    if h % 8 or w % 128:
+        raise ValueError(f"image {h}x{w} not (8,128)-tile aligned")
+    out = pl.pallas_call(
+        functools.partial(_ccl_kernel, rounds=rounds, h=h, w=w),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(fg.astype(jnp.int32))
+    return out.reshape(-1)

@@ -73,15 +73,16 @@ def _detect_chunk_jit(det_cfg: DetectorConfig):
 
 
 def detect_frames(
-    images: Array, det_cfg: DetectorConfig = DetectorConfig(), chunk: int = 8
+    images: Array, det_cfg: DetectorConfig = DetectorConfig(), chunk: int = 32
 ):
     """Batched detection over a stack of frames ``[..., H, W]``.
 
     Runs OUTSIDE any scan: detection inside ``lax.scan``/``lax.map`` hits an
     XLA scheduling pathology on TPU (~3000x slower than the identical
     computation vmapped at top level — see docs/PERFORMANCE.md). Chunked
-    host loop of jitted vmapped calls keeps peak memory bounded (the quad
-    extractor materializes [chunk, K, H*W] masks).
+    host loop of jitted vmapped calls keeps peak memory bounded; since the
+    bounding-box-window quad extractor (peak [chunk, K, W^2], not
+    [chunk, K, H*W]) chunk 32+ fits easily and amortizes dispatch latency.
 
     Returns (ids [..., K], corners [..., K, 4, 2], valid [..., K]).
     """

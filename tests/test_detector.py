@@ -167,3 +167,35 @@ def test_multiscale_sweep_no_duplicates():
     ids_m = [int(i) for i in np.asarray(multi.ids)[np.asarray(multi.valid)]]
     assert sorted(ids_m) == sorted(set(ids_m)), "duplicate ids"
     assert set(ids_s).issubset(set(ids_m))
+
+
+def test_ccl_matches_scipy_oracle():
+    """Scan-accelerated CCL must agree with scipy.ndimage 8-connected
+    labeling (labels constant within each component, distinct across) on
+    rendered marker scenes and random blob masks."""
+    ndimage = pytest.importorskip("scipy.ndimage")
+    cfg = detector.DetectorConfig()
+    masks = []
+    seq = synthetic.generate_sequence(
+        synthetic.SimParams(duration=1.0, seed=3), level="images", camera=CAM
+    )
+    for i in (0, 5, 9):
+        img = jnp.asarray(np.asarray(seq.images)[i])
+        masks.append(np.asarray(detector.adaptive_threshold(
+            img, cfg.adaptive_radius, cfg.adaptive_C)))
+    rng = np.random.default_rng(1)
+    masks.append(ndimage.binary_dilation(
+        rng.random((480, 640)) > 0.995, iterations=6))
+    f = jax.jit(lambda m: detector.label_components(m, cfg.ccl_rounds))
+    for fg in masks:
+        labels = np.asarray(f(jnp.asarray(fg))).reshape(fg.shape)
+        ref, nref = ndimage.label(fg, structure=np.ones((3, 3), bool))
+        seen = set()
+        for comp in range(1, nref + 1):
+            vals = np.unique(labels[ref == comp])
+            assert len(vals) == 1, f"component {comp} split: {vals[:5]}"
+            assert vals[0] not in seen, f"label reused across components"
+            seen.add(vals[0])
+        # background keeps its own flat index
+        flat_idx = np.arange(fg.size).reshape(fg.shape)
+        np.testing.assert_array_equal(labels[~fg], flat_idx[~fg])

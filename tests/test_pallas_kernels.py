@@ -82,3 +82,34 @@ def test_frame_update_kernel_uninitialized_noop(rng):
     out = kern.frame_update(state, f, CFG, interpret=True)
     np.testing.assert_allclose(np.asarray(out.mu), 0.0)
     assert int(out.n_landmarks) == 0
+
+
+def test_ccl_kernel_matches_xla():
+    """The VMEM-resident CCL kernel must be bit-identical to
+    detector.label_components (same algorithm; also asserted compiled on
+    real TPU by benchmarks/ccl_pallas_probe.py)."""
+    import numpy as np
+    from aruco_slam_tpu.ops import detector
+    from aruco_slam_tpu.ops.kernels import ccl
+
+    rng = np.random.default_rng(2)
+    for shape, dens, rounds in (
+        ((64, 256), 0.4, 4),
+        ((64, 128), 0.7, 6),
+        ((128, 128), 0.05, 2),
+    ):
+        fg = jnp.asarray(rng.random(shape) < dens)
+        ours = ccl.label_components_tpu(fg, rounds, interpret=True)
+        ref = jax.jit(
+            lambda m, r=rounds: detector.label_components(m, r)
+        )(fg)
+        assert jnp.array_equal(ours, ref), (shape, dens, rounds)
+
+
+def test_ccl_kernel_rejects_unaligned():
+    import pytest as _pytest
+
+    from aruco_slam_tpu.ops.kernels import ccl
+
+    with _pytest.raises(ValueError):
+        ccl.label_components_tpu(jnp.zeros((100, 130), bool), 2, interpret=True)
