@@ -57,6 +57,14 @@ class DetectorConfig:
     use_pallas_ccl: bool | None = None
     min_component_pixels: int = 80
     max_component_fraction: float = 0.2
+    # Component stats (counts/bboxes/root table) are computed on a
+    # stride-subsampled grid: XLA:TPU lowers scatter to a *serial* update
+    # loop, so the full-resolution scatters cost ~19 ms/frame while the
+    # stride-4 grid costs <1 ms (benchmarks/quads_micro_probe.py). Exact
+    # pixel-count filtering is restored per candidate from its gathered
+    # label window. Components thinner than the stride in BOTH axes can be
+    # missed — decodable markers are filled quads far above that.
+    stats_stride: int = 4
     # Corner extraction samples a [W, W] window per candidate (strided when
     # the component is larger) instead of masking the full image — bounds
     # peak memory to [batch, K, W^2] and lets image-level replay run at
@@ -195,58 +203,85 @@ def _masked_argmax(score: Array, mask: Array) -> Array:
 def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
     """Top-K components by size -> 4 corner points each.
 
-    Memory-bounded formulation: instead of vmapping masked reductions over
-    the full image per candidate (a [K, H*W] blow-up that capped the batched
-    image pipeline at chunk 8 — VERDICT round 1 item 2), compute per-
-    component bounding boxes with four dense O(HW) scatter-min/max passes,
-    gather one fixed-size ``corner_window``^2 label window per candidate,
-    and run the corner argmax chain on [K, W^2]. Components larger than the
-    window are sampled at stride ceil(extent/W); the <=(stride-1) px corner
-    quantization that introduces is recovered by ``refine_corners_subpix``.
+    TPU-friendly formulation (VERDICT round 1 items 1/2; see
+    benchmarks/quads_micro_probe.py for the measurements that shaped it):
+
+    - Component stats (size score, bbox, root label) are scatter-reduced on
+      a ``stats_stride``-subsampled grid keyed by the *root's* grid cell —
+      XLA:TPU serializes scatter updates, so shrinking updates (and the
+      top_k domain) by stride^2 cuts this stage ~16x at stride 4.
+    - Per candidate, one fixed ``corner_window``^2 label window is gathered
+      with two 1-D ``take``s (row gather then lane gather — far cheaper
+      than an elementwise 2-D gather), strided when the component exceeds
+      the window; the <=stride px corner quantization is recovered by
+      ``refine_corners_subpix``.
+    - The exact ``min_component_pixels`` filter is applied per candidate
+      from its window pixel count (the window covers the full component).
 
     Returns (corners [K, 4, 2] float32, cand_valid [K])."""
     h, w = fg.shape
     n = h * w
     W = cfg.corner_window
-    fg_f = fg.reshape(-1)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    counts = jnp.zeros((n,), jnp.int32).at[labels].add(fg_f.astype(jnp.int32))
-    is_root = fg_f & (labels == idx)
-    max_pix = jnp.int32(cfg.max_component_fraction * n)
-    ok = is_root & (counts >= cfg.min_component_pixels) & (counts <= max_pix)
-    score = jnp.where(ok, counts, 0)
-    _, roots = jax.lax.top_k(score, cfg.max_candidates)
-    cand_valid = score[roots] > 0
-
-    # Per-component bounding boxes: dense scatter-min/max keyed by label.
-    # Background pixels scatter sentinels into their own (never-read) slots.
-    ys_i = idx // w
-    xs_i = idx % w
-    big = jnp.int32(n)
-    bb_minx = jnp.full((n,), big, jnp.int32).at[labels].min(
-        jnp.where(fg_f, xs_i, big)
-    )
-    bb_maxx = jnp.full((n,), -1, jnp.int32).at[labels].max(
-        jnp.where(fg_f, xs_i, -1)
-    )
-    bb_miny = jnp.full((n,), big, jnp.int32).at[labels].min(
-        jnp.where(fg_f, ys_i, big)
-    )
-    bb_maxy = jnp.full((n,), -1, jnp.int32).at[labels].max(
-        jnp.where(fg_f, ys_i, -1)
-    )
-
+    st = cfg.stats_stride
     labels2d = labels.reshape(h, w)
+
+    # --- stats on the subsampled grid --------------------------------------
+    lab_ds = labels2d[::st, ::st]  # [hs, ws] values = full-res root indices
+    fg_ds = fg[::st, ::st]
+    hs, ws = lab_ds.shape
+    nb = hs * ws
+    # map each pixel's component root (full-res flat index) to its grid cell
+    root_y = lab_ds // w
+    root_x = lab_ds % w
+    cellf = ((root_y // st) * ws + (root_x // st)).reshape(-1)
+    fgf = fg_ds.reshape(-1)
+    big = jnp.int32(n)
+    counts = jnp.zeros((nb,), jnp.int32).at[cellf].add(fgf.astype(jnp.int32))
+    gy = (jnp.arange(hs, dtype=jnp.int32) * st)[:, None]
+    gx = (jnp.arange(ws, dtype=jnp.int32) * st)[None, :]
+    px_y = jnp.broadcast_to(gy, (hs, ws)).reshape(-1)
+    px_x = jnp.broadcast_to(gx, (hs, ws)).reshape(-1)
+    bb_minx = jnp.full((nb,), big, jnp.int32).at[cellf].min(
+        jnp.where(fgf, px_x, big)
+    )
+    bb_maxx = jnp.full((nb,), -1, jnp.int32).at[cellf].max(
+        jnp.where(fgf, px_x, -1)
+    )
+    bb_miny = jnp.full((nb,), big, jnp.int32).at[cellf].min(
+        jnp.where(fgf, px_y, big)
+    )
+    bb_maxy = jnp.full((nb,), -1, jnp.int32).at[cellf].max(
+        jnp.where(fgf, px_y, -1)
+    )
+    root_lab = jnp.full((nb,), big, jnp.int32).at[cellf].min(
+        jnp.where(fgf, lab_ds.reshape(-1), big)
+    )
+
+    # selection: subsampled count is ~count/st^2 with sampling variance, so
+    # gate at half the expected ratio here and re-apply the exact filter per
+    # candidate from its window below.
+    min_ds = max(1, cfg.min_component_pixels // (st * st) // 2)
+    max_ds = jnp.int32(cfg.max_component_fraction * nb)
+    ok = (counts >= min_ds) & (counts <= max_ds)
+    score = jnp.where(ok, counts, 0)
+    _, cells_k = jax.lax.top_k(score, cfg.max_candidates)
+    cand_valid = score[cells_k] > 0
+    roots = root_lab[cells_k]
+    # bbox quantization: subsampling can miss extremes by up to st-1 px
+    c_x0 = jnp.maximum(bb_minx[cells_k] - (st - 1), 0)
+    c_x1 = jnp.minimum(bb_maxx[cells_k] + (st - 1), w - 1)
+    c_y0 = jnp.maximum(bb_miny[cells_k] - (st - 1), 0)
+    c_y1 = jnp.minimum(bb_maxy[cells_k] + (st - 1), h - 1)
+
     span = jnp.arange(W, dtype=jnp.int32)
 
-    def corners_for(root):
-        x0, x1 = bb_minx[root], bb_maxx[root]
-        y0, y1 = bb_miny[root], bb_maxy[root]
+    def corners_for(root, x0, x1, y0, y1):
         extent = jnp.maximum(x1 - x0, y1 - y0) + 1
         stride = jnp.maximum((extent + W - 1) // W, 1)
         wy = jnp.clip(y0 + stride * span, 0, h - 1)
         wx = jnp.clip(x0 + stride * span, 0, w - 1)
-        lab_w = labels2d[wy[:, None], wx[None, :]]  # [W, W] gather
+        rows = jnp.take(labels2d, wy, axis=0)  # [W, w] contiguous row gather
+        lab_w = jnp.take(rows, wx, axis=1)  # [W, W] lane gather
         # bg pixels keep their own flat index as label and root is a fg
         # pixel, so equality alone identifies the component.
         mask = (lab_w == root).reshape(-1)
@@ -278,9 +313,18 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
         i3 = _masked_argmax(cross, mask)
         p1 = jnp.stack([px[i1], py[i1]])
         p3 = jnp.stack([px[i3], py[i3]])
-        return jnp.stack([p0, p1, p2, p3])
+        # exact size filter: the window covers the whole component, so the
+        # masked pixel count times stride^2 recovers the component size the
+        # subsampled pre-filter only estimated
+        size_est = npix * (stride * stride).astype(jnp.float32)
+        return jnp.stack([p0, p1, p2, p3]), size_est
 
-    corners = jax.vmap(corners_for)(roots)
+    corners, size_est = jax.vmap(corners_for)(roots, c_x0, c_x1, c_y0, c_y1)
+    cand_valid = (
+        cand_valid
+        & (size_est >= cfg.min_component_pixels)
+        & (size_est <= cfg.max_component_fraction * n)
+    )
     return corners, cand_valid
 
 
@@ -389,30 +433,64 @@ def refine_corners_subpix(
 
     Classic saddle-point solve: q = (sum g g^T)^-1 sum (g g^T p) over a
     window, where g = image gradient at sample p; iterated a few times.
-    Vectorized over all corners; each iteration is a fixed grid of bilinear
-    gathers + a closed-form 2x2 solve.
-    """
-    x = img.astype(jnp.float32)
+
+    Gather-free formulation: every sample position in the window shares the
+    corner's fractional offset (the grid offsets are integers), so one
+    ``dynamic_slice`` patch per corner per iteration provides every bilinear
+    field as four *static* shifted slices — no per-point gathers (XLA:TPU
+    executes scalar gathers serially; the old per-sample `_bilinear` cost
+    ~4 ms/frame at batch, benchmarks/detector_stage_probe.py). Border
+    semantics match the old coordinate clipping exactly (edge padding)."""
+    pad = window + 2
+    x = jnp.pad(img.astype(jnp.float32), pad, mode="edge")
+    h, w = img.shape
     offs = jnp.arange(-window, window + 1, dtype=jnp.float32)
-    gy, gx = jnp.meshgrid(offs, offs, indexing="ij")
-    grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # [W2, 2]
+    gy, gx = jnp.meshgrid(offs, offs, indexing="ij")  # [S, S]
     # distance weighting as in OpenCV (higher weight at center)
-    w = jnp.exp(-(gx**2 + gy**2) / (window**2)).reshape(-1)
+    wgt = jnp.exp(-(gx**2 + gy**2) / (window**2))
+    S = 2 * window + 1
+    P = 2 * window + 4  # patch covers offsets [-window-1, window+2]
 
     def refine_one(c):
         def body(_, q):
-            p = q[None, :] + grid  # [W2, 2]
-            right = _bilinear(x, p + jnp.asarray([1.0, 0.0]))
-            left = _bilinear(x, p - jnp.asarray([1.0, 0.0]))
-            down = _bilinear(x, p + jnp.asarray([0.0, 1.0]))
-            up = _bilinear(x, p - jnp.asarray([0.0, 1.0]))
-            dx = 0.5 * (right - left)
-            dy = 0.5 * (down - up)
-            gxx = jnp.sum(w * dx * dx)
-            gxy = jnp.sum(w * dx * dy)
-            gyy = jnp.sum(w * dy * dy)
-            bx = jnp.sum(w * (dx * dx * p[:, 0] + dx * dy * p[:, 1]))
-            by = jnp.sum(w * (dx * dy * p[:, 0] + dy * dy * p[:, 1]))
+            qc = jnp.stack(
+                [jnp.clip(q[0], 0.0, w - 1.001), jnp.clip(q[1], 0.0, h - 1.001)]
+            )
+            base = jnp.floor(qc)
+            fx = qc[0] - base[0]
+            fy = qc[1] - base[1]
+            patch = jax.lax.dynamic_slice(
+                x,
+                (
+                    base[1].astype(jnp.int32) + pad - window - 1,
+                    base[0].astype(jnp.int32) + pad - window - 1,
+                ),
+                (P, P),
+            )
+
+            def field(ey, ex):
+                """Bilinear samples at q + grid + (ex, ey) for the whole
+                integer grid at once: four static slices of the patch."""
+                def sl(ay, ax):
+                    return jax.lax.dynamic_slice(patch, (ay, ax), (S, S))
+
+                a0y, a0x = ey + 1, ex + 1  # grid offset -window maps to +1
+                return (
+                    (1 - fy) * (1 - fx) * sl(a0y, a0x)
+                    + (1 - fy) * fx * sl(a0y, a0x + 1)
+                    + fy * (1 - fx) * sl(a0y + 1, a0x)
+                    + fy * fx * sl(a0y + 1, a0x + 1)
+                )
+
+            dx = 0.5 * (field(0, 1) - field(0, -1))
+            dy = 0.5 * (field(1, 0) - field(-1, 0))
+            px = qc[0] + gx
+            py = qc[1] + gy
+            gxx = jnp.sum(wgt * dx * dx)
+            gxy = jnp.sum(wgt * dx * dy)
+            gyy = jnp.sum(wgt * dy * dy)
+            bx = jnp.sum(wgt * (dx * dx * px + dx * dy * py))
+            by = jnp.sum(wgt * (dx * dy * px + dy * dy * py))
             det = gxx * gyy - gxy * gxy
             ok = jnp.abs(det) > 1e-9
             inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
@@ -420,8 +498,8 @@ def refine_corners_subpix(
             qy = (gxx * by - gxy * bx) * inv_det
             q_new = jnp.stack([qx, qy])
             # clamp the move to the window (reject runaway solves)
-            delta = jnp.clip(q_new - q, -float(window), float(window))
-            return jnp.where(ok, q + delta, q)
+            delta = jnp.clip(q_new - qc, -float(window), float(window))
+            return jnp.where(ok, qc + delta, q)
 
         return jax.lax.fori_loop(0, iters, body, c)
 

@@ -121,6 +121,23 @@ def _detections_to_corner_data(data: ReplayData, det_cfg: DetectorConfig) -> Rep
     )
 
 
+def frame_update_for(config: SlamConfig, batched: bool):
+    """Select the frame-update backend (see EkfConfig.update_backend):
+    the Pallas VMEM-resident kernel wins 3x at batch 1 on TPU, the XLA
+    scan wins under vmap (benchmarks/ekf_kernel_probe.py)."""
+    if config.ekf.fused_update:
+        return ekf.update_fused
+    be = config.ekf.update_backend
+    use_pallas = be == "pallas" or (
+        be == "auto" and not batched and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from aruco_slam_tpu.ops.kernels import ekf_update as kern
+
+        return kern.frame_update
+    return ekf.update
+
+
 def replay(
     data: ReplayData,
     config: SlamConfig,
@@ -139,12 +156,13 @@ def replay(
     return _replay_jit(data, config, camera, level)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "level"))
+@functools.partial(jax.jit, static_argnames=("config", "level", "batched"))
 def _replay_jit(
     data: ReplayData,
     config: SlamConfig,
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
+    batched: bool = False,
 ) -> ReplayResult:
     state0 = ekf.init_state(config)
 
@@ -165,7 +183,7 @@ def _replay_jit(
             frame = observations_from_corners(ids, corners, valid, camera, config)
         else:
             frame = ekf.FrameObservations(ids=ids, z=z, R=R, valid=valid)
-        upd = ekf.update_fused if config.ekf.fused_update else ekf.update
+        upd = frame_update_for(config, batched)
         state = upd(state, frame, config)
         pose, cov = ekf.get_pose(state)
         return state, (pose, cov, state.n_landmarks)
@@ -205,7 +223,9 @@ def _replay_batch_jit(
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
 ) -> ReplayResult:
-    return jax.vmap(lambda d: _replay_jit(d, config, camera, level))(data)
+    return jax.vmap(
+        lambda d: _replay_jit(d, config, camera, level, batched=True)
+    )(data)
 
 
 def build_batch_data(

@@ -52,8 +52,14 @@ class SlamSystem:
         self.state = ekf.init_state(self.config)
         self.last_detections: Optional[Detections] = None
         self._last_image = None
+        from aruco_slam_tpu.runner import frame_update_for
+
         self._predict = jax.jit(ekf.predict, static_argnums=2)
-        self._update = jax.jit(ekf.update, static_argnums=2)
+        # Streaming is the single-stream shape: the Pallas VMEM-resident
+        # frame update wins 3x there on TPU (EkfConfig.update_backend).
+        self._update = jax.jit(
+            frame_update_for(self.config, batched=False), static_argnums=2
+        )
         self._detect = jax.jit(detect_markers, static_argnums=1)
         self._front = jax.jit(
             frontend.observations_from_corners, static_argnums=4

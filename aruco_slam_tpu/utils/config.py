@@ -97,6 +97,16 @@ class EkfConfig:
     # of one per observation. Requires at most one observation per marker id
     # per frame (the front-end guarantees this; disable for exotic inputs).
     fused_update: bool = False
+    # Frame-update backend: "auto" picks the Pallas VMEM-resident kernel
+    # (ops/kernels/ekf_update.py) for SINGLE-STREAM replay/streaming on TPU
+    # — 3x faster than the XLA scan at batch 1 (293 vs 887 us/frame,
+    # benchmarks/ekf_kernel_probe.py: one HBM read+write of the state per
+    # frame instead of ~40 ops/observation) — and the XLA scan for batched
+    # replay, where XLA's batch vectorization wins (19 vs 42 us/frame at
+    # batch 64; the kernel grid serializes lanes on the one Mosaic core).
+    # "xla" / "pallas" force a backend (bit-identical results either way —
+    # tests/test_pallas_kernels.py).
+    update_backend: str = "auto"
 
 
 @dataclass(frozen=True)

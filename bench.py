@@ -57,7 +57,10 @@ def bench_tpu(data, cfg, cam, level, reps=5):
     from aruco_slam_tpu import runner
 
     out = runner.replay_batch(data, cfg, cam, level)  # compile + warmup
-    jax.block_until_ready(out.trajectory)
+    # Host fetch, not just block_until_ready: on the remote-TPU backend the
+    # first execution of a program is NOT awaited by block_until_ready
+    # (async executable load); a device_get is the only true barrier.
+    np.asarray(out.trajectory)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = runner.replay_batch(data, cfg, cam, level)

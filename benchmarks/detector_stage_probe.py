@@ -22,7 +22,7 @@ from aruco_slam_tpu.sim import synthetic
 
 CAM = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
 CFG = det.DetectorConfig()
-B = 8
+B = int(os.environ.get("PROBE_B", "32"))
 
 cpu = jax.devices("cpu")[0]
 with jax.default_device(cpu):
@@ -36,7 +36,7 @@ print("imgs", imgs.shape, file=sys.stderr)
 
 def timeit(fn, *args, reps=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])  # true first-exec barrier (axon)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
@@ -50,7 +50,16 @@ print(f"threshold : {1e3*t/B:8.2f} ms/frame", flush=True)
 
 f_ccl = jax.jit(jax.vmap(lambda m: det.label_components(m, CFG.ccl_rounds)))
 t, labels = timeit(f_ccl, fg)
-print(f"ccl       : {1e3*t/B:8.2f} ms/frame", flush=True)
+print(f"ccl xla   : {1e3*t/B:8.2f} ms/frame", flush=True)
+
+if jax.default_backend() == "tpu":
+    from aruco_slam_tpu.ops.kernels import ccl as ccl_kernel
+
+    f_cclp = jax.jit(
+        jax.vmap(lambda m: ccl_kernel.label_components_tpu(m, CFG.ccl_rounds))
+    )
+    t, labels = timeit(f_cclp, fg)
+    print(f"ccl pallas: {1e3*t/B:8.2f} ms/frame", flush=True)
 
 f_quad = jax.jit(jax.vmap(lambda l, m: det.extract_quads(l, m, CFG)))
 t, (corners, cand_valid) = timeit(f_quad, labels, fg)

@@ -33,9 +33,15 @@ CAM = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
 
 
 def timeit(fn, inputs, reps=5):
-    """Returns (seconds_per_call, last_output)."""
+    """Returns (seconds_per_call, last_output).
+
+    Warmup ends with a host FETCH, not just block_until_ready: on the
+    remote-TPU (axon) backend block_until_ready does NOT wait for the
+    first execution of a program (async compile/executable load) — only a
+    device_get is a true barrier there. After one completed execution,
+    block_until_ready behaves normally (measured in round 2)."""
     out = fn(inputs[0])
-    jax.block_until_ready(jax.tree.leaves(out)[0])
+    np.asarray(jax.tree.leaves(out)[0])  # full sync (see docstring)
     t0 = time.perf_counter()
     for r in range(reps):
         out = fn(inputs[r % len(inputs)])
@@ -135,7 +141,7 @@ def config3_batched(batch=64):
     return {"batch": batch, "frames_per_sec_per_chip": batch * f / dt}
 
 
-def config_image_level(batch=8, duration=10.0):
+def config_image_level(batch=32, duration=10.0):
     """Full image pipeline throughput: rendered 640x480 frames -> detector
     -> PnP -> EKF, batched. (Not a numbered BASELINE config; reported as
     the detection-inclusive counterpart of config 3.)"""
@@ -212,7 +218,7 @@ def config5_dist_ba(n_kf=10000, n_lm=5000):
             sharded, mesh, iters=5, cg_iters=50, damping=1e-4
         )
         poses, lms, hist = run()
-        jax.block_until_ready(poses)
+        np.asarray(poses)  # true first-exec barrier (see timeit)
         t0 = time.perf_counter()
         poses, lms, hist = run()
         jax.block_until_ready(poses)
