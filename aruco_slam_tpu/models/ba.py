@@ -64,6 +64,203 @@ class BAStats(NamedTuple):
     cost_history: Array  # [iters+1]
 
 
+class GatherTables(NamedTuple):
+    """Precomputed dense gather tables replacing every ``segment_sum`` in
+    the solver's hot loops. XLA:TPU lowers scatter (segment_sum) to a
+    serial per-update loop; a padded row-index table turns each one into a
+    gather + dense reduction, which is bandwidth-bound. Pad entries point
+    one past the end of the source array (a zero row appended before the
+    gather), so no masking is needed.
+
+    Keyframe/odometry reductions use padded row tables (kf_rows [K, Omax],
+    odo_*_rows [K, Q*]). The landmark reduction instead uses a SORTED
+    SEGMENTED SCAN: landmark popularity is heavily skewed (a well-placed
+    marker is seen by hundreds of keyframes while the mean is ~16), so any
+    padded per-landmark table is mostly padding — and both a full-width
+    table and a capped-table + overflow-segment_sum variant measured
+    ~1.4 ms per matvec at the 10k/5k shape. The scan form (gather
+    observations into landmark-sorted order, one segmented associative
+    +-scan, gather the [L] segment ends) is a few bandwidth-bound passes
+    regardless of skew: lm_sort_rows [Nv] (valid obs rows, lm-sorted),
+    lm_flags [Nv] (segment starts), lm_ends [L] (index of each landmark's
+    last sorted row; Nv for landmarks with no observations)."""
+
+    kf_rows: Array
+    odo_i_rows: Array
+    odo_j_rows: Array
+    lm_sort_rows: Array
+    lm_flags: Array
+    lm_ends: Array
+
+
+def _rows_table(ids, num_segments: int, pad: int, rows=None):
+    """Host-side: [S, Rmax] row-index table, padded with ``pad``.
+
+    ``rows``: optional source row numbers for each id (default arange) —
+    used to build tables over a masked subset."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    if rows is None:
+        rows = np.arange(len(ids))
+    counts = np.bincount(ids, minlength=num_segments)
+    rmax = max(1, int(counts.max()) if len(ids) else 1)
+    out = np.full((num_segments, rmax), pad, np.int32)
+    order = np.argsort(ids, kind="stable")
+    pos_ids = ids[order]
+    # positions within each segment: cumulative index along sorted order
+    seg_start = np.zeros(num_segments + 1, np.int64)
+    np.cumsum(counts, out=seg_start[1:])
+    within = np.arange(len(ids)) - seg_start[pos_ids]
+    out[pos_ids, within] = np.asarray(rows)[order]
+    return out
+
+
+def build_tables(problem: BAProblem) -> GatherTables:
+    """Build the solver's gather tables (host-side numpy; call once per
+    problem and pass to :func:`solve`)."""
+    import numpy as np
+
+    K = np.asarray(problem.poses).shape[0]
+    L = np.asarray(problem.landmarks).shape[0]
+    N = np.asarray(problem.obs_kf).shape[0]
+    M = np.asarray(problem.odo_i).shape[0]
+
+    valid = np.asarray(problem.obs_valid)
+    rows_v = np.nonzero(valid)[0]
+    obs_lm = np.asarray(problem.obs_lm)[valid]
+    order = np.argsort(obs_lm, kind="stable")
+    lm_sort_rows = rows_v[order].astype(np.int32)
+    sorted_ids = obs_lm[order]
+    nv = len(sorted_ids)
+    flags = np.ones(nv, bool)
+    if nv > 1:
+        flags[1:] = sorted_ids[1:] != sorted_ids[:-1]
+    counts = np.bincount(sorted_ids, minlength=L)
+    ends = np.full(L, nv, np.int32)  # empty landmarks gather the zero row
+    cum = np.cumsum(counts)
+    nonempty = counts > 0
+    ends[nonempty] = (cum[nonempty] - 1).astype(np.int32)
+    return GatherTables(
+        kf_rows=jnp.asarray(_rows_table(problem.obs_kf, K, N)),
+        odo_i_rows=jnp.asarray(_rows_table(problem.odo_i, K, M)),
+        odo_j_rows=jnp.asarray(_rows_table(problem.odo_j, K, M)),
+        lm_sort_rows=jnp.asarray(lm_sort_rows),
+        lm_flags=jnp.asarray(flags),
+        lm_ends=jnp.asarray(ends),
+    )
+
+
+def prepare(problem: BAProblem):
+    """Pack the problem for the TPU solver fast path. Returns
+    (packed_problem, tables, static) where ``static`` is a dict of
+    Python-level solver options to splat into :func:`solve`:
+
+    - observations are permuted into keyframe-major dense layout
+      ([K, kf_width] slots, zero-weight pads), so every keyframe-keyed
+      reduction becomes a reshape + dense sum and the ``v[obs_kf]`` gather
+      becomes a broadcast (static ``kf_width``);
+    - the odometry chain (odo_i == 0..K-2, odo_j == 1..K-1 — what the
+      graph builders emit) is detected and handled with shifted pad-adds
+      instead of segment sums (static ``odo_chain``);
+    - landmark-keyed reductions use the sorted-segmented-scan tables of
+      :func:`build_tables`.
+
+    Everything stays numerically identical to the unpacked solve up to f32
+    summation order. Motivation: XLA:TPU executes scatter serially and
+    [N, 3] gathers at ~140 us per call at the 10k/5k shape, which made the
+    segment_sum formulation scatter/gather-bound (VERDICT round 1 item 8;
+    benchmarks/ba_prims_probe.py)."""
+    import numpy as np
+
+    K = np.asarray(problem.poses).shape[0]
+    N = np.asarray(problem.obs_kf).shape[0]
+    valid = np.asarray(problem.obs_valid)
+    vrows = np.nonzero(valid)[0]
+    kf_v = np.asarray(problem.obs_kf)[vrows]
+    counts = np.bincount(kf_v, minlength=K)
+    O = max(1, int(counts.max()))
+    perm = np.full((K, O), N, np.int64)
+    order = np.argsort(kf_v, kind="stable")
+    rows_sorted = vrows[order]
+    kf_sorted = kf_v[order]
+    seg_start = np.zeros(K + 1, np.int64)
+    np.cumsum(counts, out=seg_start[1:])
+    within = np.arange(len(kf_sorted)) - seg_start[kf_sorted]
+    perm[kf_sorted, within] = rows_sorted
+    perm = perm.reshape(-1)
+
+    def g(arr):
+        a = np.asarray(arr)
+        padded = np.concatenate([a, np.zeros((1, *a.shape[1:]), a.dtype)])
+        return padded[perm]
+
+    packed = problem._replace(
+        obs_kf=np.repeat(np.arange(K, dtype=np.int32), O),
+        obs_lm=g(problem.obs_lm).astype(np.int32),
+        obs_z=g(problem.obs_z),
+        obs_w=g(problem.obs_w),
+        obs_valid=(perm != N),
+    )
+    oi = np.asarray(problem.odo_i)
+    oj = np.asarray(problem.odo_j)
+    M = len(oi)
+    odo_chain = bool(
+        M == K - 1
+        and np.array_equal(oi, np.arange(M))
+        and np.array_equal(oj, np.arange(1, M + 1))
+        and np.asarray(problem.odo_valid).all()
+    )
+    tables = build_tables(packed)
+    packed = jax.tree.map(jnp.asarray, packed)
+    return packed, tables, {"kf_width": O, "odo_chain": odo_chain}
+
+
+def _sum_rows(vals: Array, rows: Array) -> Array:
+    """Gather-sum: equivalent of segment_sum(vals, ids) given the row
+    table for ids. vals [N, ...] -> [S, ...]."""
+    padded = jnp.concatenate(
+        [vals, jnp.zeros((1, *vals.shape[1:]), vals.dtype)], axis=0
+    )
+    return jnp.sum(padded[rows], axis=1)
+
+
+def _seg_sum(vals: Array, ids: Array, num_segments: int, rows):
+    """segment_sum, or the gather-sum form when a row table is given."""
+    if rows is None:
+        return jax.ops.segment_sum(vals, ids, num_segments=num_segments)
+    return _sum_rows(vals, rows)
+
+
+def _seg_sum_lm(vals: Array, ids: Array, L: int, tables):
+    """Landmark-keyed reduction via sorted segmented scan (see
+    GatherTables): gather into lm-sorted order, one segmented +-scan, then
+    gather each landmark's segment end. Bandwidth-bound regardless of how
+    skewed landmark popularity is."""
+    if tables is None:
+        return jax.ops.segment_sum(vals, ids, num_segments=L)
+    # flatten trailing dims of rank-3+ operands: a [N, 3, 3] operand would
+    # otherwise carry its (3, 3) minor dims through the scan in tile-padded
+    # layout ([N, 3] operands measured faster unflattened)
+    flat = vals if vals.ndim == 2 else vals.reshape(vals.shape[0], -1)
+    padded = jnp.concatenate(
+        [flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0
+    )
+    s = padded[tables.lm_sort_rows]  # [Nv, F] lm-sorted
+    f = tables.lm_flags
+
+    def comb(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb[:, None], vb, va + vb), fa | fb
+
+    scanned, _ = jax.lax.associative_scan(comb, (s, f), axis=0)
+    out_padded = jnp.concatenate(
+        [scanned, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0
+    )
+    return out_padded[tables.lm_ends].reshape(L, *vals.shape[1:])
+
+
 def _obs_jacobians(pose: Array, target: Array):
     """h(pose, target) = target in pose frame; returns (h, Jp, Jt).
 
@@ -137,7 +334,18 @@ def cost(problem: BAProblem, poses, landmarks, prior_pose) -> Array:
     return 0.5 * (c_obs + c_odo + c_pr)
 
 
-def obs_linear_blocks(problem: BAProblem, poses, landmarks, K: int, L: int):
+def _kf_sum(vals: Array, ids, K: int, rows, kf_width):
+    """Keyframe-keyed reduction: dense reshape-sum (kf-major packed
+    layout), gather table, or segment_sum."""
+    if kf_width is not None:
+        return jnp.sum(vals.reshape(K, kf_width, *vals.shape[1:]), axis=1)
+    return _seg_sum(vals, ids, K, rows)
+
+
+def obs_linear_blocks(
+    problem: BAProblem, poses, landmarks, K: int, L: int, tables=None,
+    kf_width=None,
+):
     """Marker-factor linear blocks (the shardable part of the problem).
 
     Sign convention: residual r = z - h, Jacobians J of h, so the normal
@@ -155,40 +363,61 @@ def obs_linear_blocks(problem: BAProblem, poses, landmarks, K: int, L: int):
     Apl = JpW @ Jl
     bp_obs = (JpW @ r_obs[..., None])[..., 0]
     bl_obs = (JlW @ r_obs[..., None])[..., 0]
-    Hpp_diag = jax.ops.segment_sum(App, problem.obs_kf, num_segments=K)
-    Hll = jax.ops.segment_sum(All, problem.obs_lm, num_segments=L)
-    bp = jax.ops.segment_sum(bp_obs, problem.obs_kf, num_segments=K)
-    bl = jax.ops.segment_sum(bl_obs, problem.obs_lm, num_segments=L)
+    kf_rows = tables.kf_rows if tables is not None else None
+    Hpp_diag = _kf_sum(App, problem.obs_kf, K, kf_rows, kf_width)
+    Hll = _seg_sum_lm(All, problem.obs_lm, L, tables)
+    bp = _kf_sum(bp_obs, problem.obs_kf, K, kf_rows, kf_width)
+    bl = _seg_sum_lm(bl_obs, problem.obs_lm, L, tables)
     return Hpp_diag, Hll, Apl, bp, bl
 
 
-def odo_linear_blocks(problem: BAProblem, poses, landmarks, K: int):
+def _chain_pad_i(x: Array) -> Array:
+    """Place per-factor values at their i endpoint (0..K-2) of a K-row
+    output: pad one zero row at the end."""
+    return jnp.concatenate([x, jnp.zeros((1, *x.shape[1:]), x.dtype)], axis=0)
+
+
+def _chain_pad_j(x: Array) -> Array:
+    """Place per-factor values at their j endpoint (1..K-1)."""
+    return jnp.concatenate([jnp.zeros((1, *x.shape[1:]), x.dtype), x], axis=0)
+
+
+def odo_linear_blocks(
+    problem: BAProblem, poses, landmarks, K: int, tables=None, odo_chain=False
+):
     """Odometry/relative-pose linear blocks (replicated, cheap)."""
+    oi = tables.odo_i_rows if tables is not None else None
+    oj = tables.odo_j_rows if tables is not None else None
     _, (r_odo, Ji, Jj, w_odo) = _residuals(problem, poses, landmarks)
     JiW = jnp.swapaxes(Ji, -1, -2) @ w_odo
     JjW = jnp.swapaxes(Jj, -1, -2) @ w_odo
-    Hpp_diag = jax.ops.segment_sum(JiW @ Ji, problem.odo_i, num_segments=K)
-    Hpp_diag = Hpp_diag + jax.ops.segment_sum(
-        JjW @ Jj, problem.odo_j, num_segments=K
-    )
     Hij = JiW @ Jj  # [M, 3, 3] off-diagonal block (i, j)
-    bp = jax.ops.segment_sum(
-        (JiW @ r_odo[..., None])[..., 0], problem.odo_i, num_segments=K
-    )
-    bp = bp + jax.ops.segment_sum(
-        (JjW @ r_odo[..., None])[..., 0], problem.odo_j, num_segments=K
-    )
+    bi = (JiW @ r_odo[..., None])[..., 0]
+    bj = (JjW @ r_odo[..., None])[..., 0]
+    if odo_chain:
+        Hpp_diag = _chain_pad_i(JiW @ Ji) + _chain_pad_j(JjW @ Jj)
+        bp = _chain_pad_i(bi) + _chain_pad_j(bj)
+    else:
+        Hpp_diag = _seg_sum(JiW @ Ji, problem.odo_i, K, oi)
+        Hpp_diag = Hpp_diag + _seg_sum(JjW @ Jj, problem.odo_j, K, oj)
+        bp = _seg_sum(bi, problem.odo_i, K, oi)
+        bp = bp + _seg_sum(bj, problem.odo_j, K, oj)
     return Hpp_diag, Hij, bp
 
 
-def _linearize(problem: BAProblem, poses, landmarks, damping):
+def _linearize(
+    problem: BAProblem, poses, landmarks, damping, tables=None,
+    kf_width=None, odo_chain=False,
+):
     """Build the blocks needed by the Schur-CG solve (single device)."""
     K = poses.shape[0]
     L = landmarks.shape[0]
     Hpp_obs, Hll, Apl, bp_obs, bl = obs_linear_blocks(
-        problem, poses, landmarks, K, L
+        problem, poses, landmarks, K, L, tables, kf_width
     )
-    Hpp_odo, Hij, bp_odo = odo_linear_blocks(problem, poses, landmarks, K)
+    Hpp_odo, Hij, bp_odo = odo_linear_blocks(
+        problem, poses, landmarks, K, tables, odo_chain
+    )
     Hpp_diag = Hpp_obs + Hpp_odo
     bp = bp_obs + bp_odo
 
@@ -207,27 +436,45 @@ def _linearize(problem: BAProblem, poses, landmarks, damping):
     )
 
 
-def _schur_matvec(lin, problem: BAProblem, v):
+def _schur_matvec(lin, problem: BAProblem, v, tables=None, kf_width=None,
+                  odo_chain=False):
     """S @ v with S = Hpp - Hpl Hll^-1 Hlp, matrix-free.
 
-    v: [K, 3]. All terms are batched 3x3 matmuls + segment sums."""
+    v: [K, 3]. With the :func:`prepare` fast path every keyframe-keyed
+    reduction is a dense reshape-sum, the chain odometry coupling is two
+    shifted pad-adds, and only the landmark side touches index tables —
+    no TPU scatter anywhere in the CG loop."""
     K = v.shape[0]
     L = lin["Hll_inv"].shape[0]
+    kf_rows = tables.kf_rows if tables is not None else None
     # Hpp @ v: diagonal part
     out = (lin["Hpp_diag"] @ v[..., None])[..., 0]
     # odometry coupling: out_i += Hij v_j ; out_j += Hij^T v_i
-    vi = v[problem.odo_j]
-    contrib_i = (lin["Hij"] @ vi[..., None])[..., 0]
-    out = out + jax.ops.segment_sum(contrib_i, problem.odo_i, num_segments=K)
-    vj = v[problem.odo_i]
-    contrib_j = (jnp.swapaxes(lin["Hij"], -1, -2) @ vj[..., None])[..., 0]
-    out = out + jax.ops.segment_sum(contrib_j, problem.odo_j, num_segments=K)
+    if odo_chain:
+        ci = (lin["Hij"] @ v[1:][..., None])[..., 0]
+        cj = (jnp.swapaxes(lin["Hij"], -1, -2) @ v[:-1][..., None])[..., 0]
+        out = out + _chain_pad_i(ci) + _chain_pad_j(cj)
+    else:
+        oi = tables.odo_i_rows if tables is not None else None
+        oj = tables.odo_j_rows if tables is not None else None
+        vi = v[problem.odo_j]
+        contrib_i = (lin["Hij"] @ vi[..., None])[..., 0]
+        out = out + _seg_sum(contrib_i, problem.odo_i, K, oi)
+        vj = v[problem.odo_i]
+        contrib_j = (jnp.swapaxes(lin["Hij"], -1, -2) @ vj[..., None])[..., 0]
+        out = out + _seg_sum(contrib_j, problem.odo_j, K, oj)
     # - Hpl Hll^-1 Hlp v
-    t = (jnp.swapaxes(lin["Apl"], -1, -2) @ v[problem.obs_kf][..., None])[..., 0]
-    t_lm = jax.ops.segment_sum(t, problem.obs_lm, num_segments=L)  # [L, 3]
+    if kf_width is not None:
+        v_obs = jnp.broadcast_to(
+            v[:, None, :], (K, kf_width, 3)
+        ).reshape(-1, 3)
+    else:
+        v_obs = v[problem.obs_kf]
+    t = (jnp.swapaxes(lin["Apl"], -1, -2) @ v_obs[..., None])[..., 0]
+    t_lm = _seg_sum_lm(t, problem.obs_lm, L, tables)  # [L, 3]
     u = (lin["Hll_inv"] @ t_lm[..., None])[..., 0]  # [L, 3]
     back = (lin["Apl"] @ u[problem.obs_lm][..., None])[..., 0]  # [N, 3]
-    out = out - jax.ops.segment_sum(back, problem.obs_kf, num_segments=K)
+    out = out - _kf_sum(back, problem.obs_kf, K, kf_rows, kf_width)
     return out
 
 
@@ -246,7 +493,16 @@ def gauge_rotation_mode(poses: Array) -> Array:
     return v / jnp.linalg.norm(v)
 
 
-def _pcg(lin, problem: BAProblem, rhs, iters: int, deflate: Array | None = None):
+def _pcg(
+    lin,
+    problem: BAProblem,
+    rhs,
+    iters: int,
+    deflate: Array | None = None,
+    tables=None,
+    kf_width=None,
+    odo_chain=False,
+):
     """Preconditioned CG on the reduced system; block-Jacobi preconditioner
     from the Hpp diagonal blocks.
 
@@ -263,7 +519,7 @@ def _pcg(lin, problem: BAProblem, rhs, iters: int, deflate: Array | None = None)
 
     if deflate is not None:
         v = deflate
-        Sv = _schur_matvec(lin, problem, v)
+        Sv = _schur_matvec(lin, problem, v, tables, kf_width, odo_chain)
         vSv = jnp.sum(v * Sv)
         safe_vSv = jnp.where(jnp.abs(vSv) < 1e-30, 1e-30, vSv)
         x0 = v * (jnp.sum(v * rhs) / safe_vSv)
@@ -283,7 +539,7 @@ def _pcg(lin, problem: BAProblem, rhs, iters: int, deflate: Array | None = None)
 
     def body(carry, _):
         x, r, z, p, rz = carry
-        Sp = _schur_matvec(lin, problem, p)
+        Sp = _schur_matvec(lin, problem, p, tables, kf_width, odo_chain)
         denom = jnp.sum(p * Sp)
         alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
         x = x + alpha * p
@@ -308,9 +564,18 @@ def solve(
     damping: float = 1e-6,
     adaptive: bool = False,
     deflate_gauge: bool = False,
+    tables: GatherTables | None = None,
+    kf_width: int | None = None,
+    odo_chain: bool = False,
 ):
     """Run Gauss-Newton / Levenberg-Marquardt with Schur-complement CG.
     Returns (poses, landmarks, BAStats).
+
+    ``tables`` (:func:`build_tables`): precomputed gather tables that
+    replace every segment_sum/scatter in the solver with padded gather-sums
+    — XLA:TPU executes scatter as a serial update loop, which dominated the
+    10k/5k profile (VERDICT round 1 item 8). Results are identical up to
+    f32 summation order.
 
     ``adaptive``: LM accept/reject — re-evaluate the cost after each step;
     on increase, reject the step and raise the damping 10x (capped), on
@@ -328,25 +593,33 @@ def solve(
 
     def gn_step(carry, _):
         poses, landmarks, lam, last_cost = carry
-        lin = _linearize(problem, poses, landmarks, lam)
+        lin = _linearize(
+            problem, poses, landmarks, lam, tables, kf_width, odo_chain
+        )
         # prior residual into bp[0]
         r0 = prior_pose - poses[0]
         r0 = r0.at[2].set(geometry.wrap_angle(r0[2]))
         bp = lin["bp"].at[0].add(problem.prior_w @ r0)
         # reduced rhs: bs = bp - Hpl Hll^-1 bl
         L = landmarks.shape[0]
+        kf_rows = tables.kf_rows if tables is not None else None
         u = (lin["Hll_inv"] @ lin["bl"][..., None])[..., 0]
         back = (lin["Apl"] @ u[problem.obs_lm][..., None])[..., 0]
-        bs = bp - jax.ops.segment_sum(
-            back, problem.obs_kf, num_segments=poses.shape[0]
-        )
+        bs = bp - _kf_sum(back, problem.obs_kf, poses.shape[0], kf_rows, kf_width)
         deflate = gauge_rotation_mode(poses) if deflate_gauge else None
-        dp, _ = _pcg(lin, problem, bs, cg_iters, deflate=deflate)
+        dp, _ = _pcg(
+            lin, problem, bs, cg_iters, deflate=deflate, tables=tables,
+            kf_width=kf_width, odo_chain=odo_chain,
+        )
         # back-substitute landmarks: dl = Hll^-1 (bl - Hlp dp)
-        t = (jnp.swapaxes(lin["Apl"], -1, -2) @ dp[problem.obs_kf][..., None])[
-            ..., 0
-        ]
-        t_lm = jax.ops.segment_sum(t, problem.obs_lm, num_segments=L)
+        if kf_width is not None:
+            dp_obs = jnp.broadcast_to(
+                dp[:, None, :], (poses.shape[0], kf_width, 3)
+            ).reshape(-1, 3)
+        else:
+            dp_obs = dp[problem.obs_kf]
+        t = (jnp.swapaxes(lin["Apl"], -1, -2) @ dp_obs[..., None])[..., 0]
+        t_lm = _seg_sum_lm(t, problem.obs_lm, L, tables)
         dl = (lin["Hll_inv"] @ (lin["bl"] - t_lm)[..., None])[..., 0]
         new_poses = poses + dp
         new_poses = new_poses.at[:, 2].set(geometry.wrap_angle(new_poses[:, 2]))

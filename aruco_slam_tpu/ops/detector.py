@@ -71,6 +71,15 @@ class DetectorConfig:
     # batch 64.
     corner_window: int = 128
     cell_samples: int = 3
+    # Keep samples inside the central (1 - 2*margin) of each cell: at far
+    # range a cell is ~2 px, and a sample 1/6 cell from the boundary has
+    # most of its bilinear support in the neighbor cell — edge samples then
+    # outvote the cell's own center (benchmarks/detector_debug_probe.py).
+    cell_margin: float = 0.0
+    # Binarize each sample against the patch threshold, then majority-vote
+    # per cell (OpenCV's pixel-count approach) instead of thresholding the
+    # cell's mean intensity.
+    cell_vote: bool = False
     max_border_errors: int = 8  # 0.35 * 24, OpenCV default border rate
     max_correction: int = 1  # OpenCV: int(maxCorrectionBits=3 * 0.6 rate)
     min_corner_separation: float = 4.0
@@ -78,6 +87,14 @@ class DetectorConfig:
     subpix_refine: bool = True
     subpix_window: int = 4
     subpix_iters: int = 3
+    # A +-subpix_window gradient window spans a whole marker side on far
+    # (~14 px) markers and drags the corners off their saddle points —
+    # every far/small decode failure vs cv2 traced back to this
+    # (benchmarks/decode_experiment.py: window 2 recovers 8/8 small-marker
+    # misses). Candidates with quad extent below this threshold are refined
+    # with subpix_window_small instead.
+    subpix_window_small: int = 2
+    subpix_small_extent: float = 40.0
 
 
 class Detections(NamedTuple):
@@ -295,6 +312,20 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
         npix = jnp.maximum(jnp.sum(m), 1.0)
         cx = jnp.sum(px * m) / npix
         cy = jnp.sum(py * m) / npix
+        # Corner chain, valid for EVERY convex quad. The round-1
+        # construction (p2 = farthest from p0, then cross extremes across
+        # p0p2) assumed p0p2 is a diagonal — on tall-narrow shallow-view
+        # trapezoids the farthest point from one corner is the *adjacent*
+        # corner (a side can be longer than a diagonal there) and the quad
+        # collapsed (benchmarks/detector_debug_probe.py, scene shallow2).
+        #
+        # 1. Three guaranteed hull corners: farthest from centroid (p0),
+        #    farthest from p0 (p2), max |cross| off the p0-p2 chord (p1).
+        # 2. The quad's diagonal among the three chords is the one with
+        #    significant extent on BOTH sides (a side has the whole
+        #    component on one side of it) — pick it by max min(extent+,
+        #    extent-), then take the 4th corner as the extreme point
+        #    opposite the remaining known corner.
         d0 = (px - cx) ** 2 + (py - cy) ** 2
         i0 = _masked_argmax(d0, mask)
         p0 = jnp.stack([px[i0], py[i0]])
@@ -302,17 +333,42 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
         i2 = _masked_argmax(d1, mask)
         p2 = jnp.stack([px[i2], py[i2]])
         ex, ey = p2[0] - p0[0], p2[1] - p0[1]
-        cross = ex * (py - p0[1]) - ey * (px - p0[0])
+        cross02 = ex * (py - p0[1]) - ey * (px - p0[0])
+        i1 = _masked_argmax(jnp.abs(cross02), mask)
+        p1 = jnp.stack([px[i1], py[i1]])
+
+        def chord_stats(a, b, other):
+            d = b - a
+            norm = jnp.sqrt(d[0] ** 2 + d[1] ** 2) + 1e-9
+            cr = (d[0] * (py - a[1]) - d[1] * (px - a[0])) / norm
+            mpos = jnp.max(jnp.where(mask, cr, -jnp.inf))
+            mneg = jnp.max(jnp.where(mask, -cr, -jnp.inf))
+            score = jnp.minimum(mpos, mneg)
+            side_other = d[0] * (other[1] - a[1]) - d[1] * (other[0] - a[0])
+            i4 = _masked_argmax(-jnp.sign(side_other) * cr, mask)
+            p4 = jnp.stack([px[i4], py[i4]])
+            return score, jnp.stack([a, other, b, p4])
+
+        s_a, quad_a = chord_stats(p0, p2, p1)
+        s_b, quad_b = chord_stats(p0, p1, p2)
+        s_c, quad_c = chord_stats(p1, p2, p0)
+        quads3 = jnp.stack([quad_a, quad_b, quad_c])  # [3, 4, 2]
+        best = jnp.argmax(jnp.stack([s_a, s_b, s_c]))
+        quad = quads3[best]  # [A, Y, B, W] — diagonal ends at 0 and 2
         # Winding matters: DICT_ARUCO_ORIGINAL is *closed under vertical
         # flips* (each row stays a codeword), so a mirrored corner order
-        # decodes to a wrong-but-valid id instead of being rejected. Corner 1
-        # must be on the negative-cross side of the p0->p2 diagonal to give
-        # positive shoelace area in image coords (x right, y down), matching
-        # the canonical (0,0),(7,0),(7,7),(0,7) decode square.
-        i1 = _masked_argmax(-cross, mask)
-        i3 = _masked_argmax(cross, mask)
-        p1 = jnp.stack([px[i1], py[i1]])
-        p3 = jnp.stack([px[i3], py[i3]])
+        # decodes to a wrong-but-valid id instead of being rejected. The
+        # quad must have positive shoelace area in image coords (x right,
+        # y down) to match the canonical (0,0),(7,0),(7,7),(0,7) decode
+        # square: for cycle [A, Y, B, W] the shoelace sign is
+        # sign(cross(B - A, W - Y)) — swap Y and W when negative.
+        dd = quad[2] - quad[0]
+        ww = quad[3] - quad[1]
+        flip = (dd[0] * ww[1] - dd[1] * ww[0]) < 0
+        p0 = quad[0]
+        p1 = jnp.where(flip, quad[3], quad[1])
+        p2 = quad[2]
+        p3 = jnp.where(flip, quad[1], quad[3])
         # exact size filter: the window covers the whole component, so the
         # masked pixel count times stride^2 recovers the component size the
         # subsampled pre-filter only estimated
@@ -379,7 +435,8 @@ def decode_candidates(img: Array, corners: Array, cfg: DetectorConfig):
     src = jnp.asarray(
         [[0.0, 0.0], [7.0, 0.0], [7.0, 7.0], [0.0, 7.0]], jnp.float32
     )
-    offs = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s  # per-cell samples
+    m = cfg.cell_margin
+    offs = m + (1.0 - 2.0 * m) * (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
 
     cell_idx = jnp.arange(7, dtype=jnp.float32)
     gx = (cell_idx[None, :, None, None] + offs[None, None, None, :])  # cols
@@ -403,7 +460,11 @@ def decode_candidates(img: Array, corners: Array, cfg: DetectorConfig):
         lo = jnp.min(cells)
         hi = jnp.max(cells)
         thresh = 0.5 * (lo + hi)
-        bits = (cells > thresh).astype(jnp.float32)
+        if cfg.cell_vote:
+            votes = jnp.mean((vals > thresh).astype(jnp.float32), axis=-1)
+            bits = (votes > 0.5).astype(jnp.float32)
+        else:
+            bits = (cells > thresh).astype(jnp.float32)
         border_err = jnp.sum(jnp.where(_border_mask(), bits, 0.0))
         inner = bits[1:6, 1:6]
         mid, rot, dist, ok = dictionary.match_bits(
@@ -545,9 +606,21 @@ def detect_markers(
     quads = jnp.concatenate(quad_list)
     cand_valid = jnp.concatenate(valid_list)
     if cfg.subpix_refine:
-        quads = refine_corners_subpix(
+        refined_big = refine_corners_subpix(
             img, quads, window=cfg.subpix_window, iters=cfg.subpix_iters
         )
+        if cfg.subpix_window_small < cfg.subpix_window:
+            refined_small = refine_corners_subpix(
+                img, quads, window=cfg.subpix_window_small,
+                iters=cfg.subpix_iters,
+            )
+            extent = jnp.max(
+                jnp.max(quads, axis=1) - jnp.min(quads, axis=1), axis=-1
+            )  # [K]
+            small = (extent < cfg.subpix_small_extent)[:, None, None]
+            quads = jnp.where(small, refined_small, refined_big)
+        else:
+            quads = refined_big
     mids, corners, contrast, border_errs, dict_ok = decode_candidates(
         img, quads, cfg
     )

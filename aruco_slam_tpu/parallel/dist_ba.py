@@ -38,9 +38,33 @@ Array = jax.Array
 AXIS = "x"
 
 
+def _kf_table(ids, K, pad):
+    return ba._rows_table(ids, K, pad)
+
+
+def _odo_is_chain(problem: BAProblem) -> bool:
+    oi = np.asarray(problem.odo_i)
+    oj = np.asarray(problem.odo_j)
+    M = len(oi)
+    K = np.asarray(problem.poses).shape[0]
+    return bool(
+        M == K - 1
+        and np.array_equal(oi, np.arange(M))
+        and np.array_equal(oj, np.arange(1, M + 1))
+        and np.asarray(problem.odo_valid).all()
+    )
+
+
 class ShardedBAProblem(NamedTuple):
     """Host-partitioned problem. D shards; leading axis of sharded fields
-    is the mesh axis. Ls = landmarks per shard, Ns = padded obs per shard."""
+    is the mesh axis. Ls = landmarks per shard, Ns = padded obs per shard.
+
+    The table fields carry the shard-local solver fast path (same design
+    as models.ba.GatherTables): kf_rows turns the keyframe-keyed segment
+    sums into padded gather-sums, lm_sort_rows/lm_flags/lm_ends drive the
+    sorted-segmented-scan landmark reduction — XLA:TPU executes scatter as
+    a serial update loop, so these matter exactly as much inside the
+    shard_map as on one device."""
 
     poses: Array  # [K, 3] replicated
     landmarks: Array  # [D, Ls, 3]
@@ -55,6 +79,10 @@ class ShardedBAProblem(NamedTuple):
     odo_w: Array
     odo_valid: Array
     prior_w: Array  # [3, 3]
+    kf_rows: Array  # [D, K, Omax]
+    lm_sort_rows: Array  # [D, Ns]
+    lm_flags: Array  # [D, Ns]
+    lm_ends: Array  # [D, Ls]
 
 
 def partition_problem(problem: BAProblem, n_shards: int) -> tuple[ShardedBAProblem, np.ndarray]:
@@ -78,11 +106,15 @@ def partition_problem(problem: BAProblem, n_shards: int) -> tuple[ShardedBAProbl
         out[: sel.sum()] = arr[sel]
         return out
 
+    K = np.asarray(problem.poses).shape[0]
     sk, sl, sz, sw, sv, lms = [], [], [], [], [], []
+    srows, sflags, sends, skfrows = [], [], [], []
     for d in range(n_shards):
         sel = (owner == d) & obs_valid
-        sk.append(shard_field(obs_kf, d, sel))
-        sl.append(shard_field(lm_local[obs_lm].astype(np.int32), d, sel))
+        kf_d = shard_field(obs_kf, d, sel)
+        lm_d = shard_field(lm_local[obs_lm].astype(np.int32), d, sel)
+        sk.append(kf_d)
+        sl.append(lm_d)
         sz.append(shard_field(np.asarray(problem.obs_z), d, sel))
         sw.append(shard_field(np.asarray(problem.obs_w), d, sel))
         v = np.zeros(Ns, bool)
@@ -94,6 +126,31 @@ def partition_problem(problem: BAProblem, n_shards: int) -> tuple[ShardedBAProbl
         if hi > lo:
             block[: hi - lo] = np.asarray(problem.landmarks)[lo:hi]
         lms.append(block)
+        # shard-local solver tables (see ShardedBAProblem docstring)
+        nv = int(sel.sum())
+        order = np.argsort(lm_d[:nv], kind="stable").astype(np.int32)
+        sorted_ids = lm_d[order]
+        flags = np.zeros(Ns, bool)
+        if nv:
+            flags[0] = True
+            flags[1:nv] = sorted_ids[1:] != sorted_ids[:-1]
+        rows = np.full(Ns, Ns, np.int32)
+        rows[:nv] = order
+        counts_d = np.bincount(sorted_ids, minlength=Ls) if nv else np.zeros(Ls, np.int64)
+        ends = np.full(Ls, Ns, np.int32)
+        cum = np.cumsum(counts_d)
+        ends[counts_d > 0] = (cum[counts_d > 0] - 1).astype(np.int32)
+        srows.append(rows)
+        sflags.append(flags)
+        sends.append(ends)
+        skfrows.append(_kf_table(kf_d[:nv], K, Ns))
+    o_max = max(t.shape[1] for t in skfrows)
+    skfrows = [
+        np.concatenate(
+            [t, np.full((K, o_max - t.shape[1]), Ns, np.int32)], axis=1
+        )
+        for t in skfrows
+    ]
 
     sharded = ShardedBAProblem(
         poses=jnp.asarray(problem.poses),
@@ -109,6 +166,10 @@ def partition_problem(problem: BAProblem, n_shards: int) -> tuple[ShardedBAProbl
         odo_w=jnp.asarray(problem.odo_w),
         odo_valid=jnp.asarray(problem.odo_valid),
         prior_w=jnp.asarray(problem.prior_w),
+        kf_rows=jnp.asarray(np.stack(skfrows)),
+        lm_sort_rows=jnp.asarray(np.stack(srows)),
+        lm_flags=jnp.asarray(np.stack(sflags)),
+        lm_ends=jnp.asarray(np.stack(sends)),
     )
     lm_perm = lm_owner * Ls + lm_local  # global slot -> concat row
     return sharded, lm_perm
@@ -153,9 +214,29 @@ def solve_dist(
     sharded solve stays numerically equal to the single-device one. The
     deflation adds one extra matvec per GN step — i.e. one extra [K, 3]
     psum — and no other collectives."""
+    if isinstance(sharded.odo_i, jax.core.Tracer):
+        # under an outer jit the index pattern is unknowable — use the
+        # generic segment-sum odometry path
+        odo_chain = False
+    else:
+        M = np.asarray(sharded.odo_i).shape[0]
+        odo_chain = bool(
+            M == np.asarray(sharded.poses).shape[0] - 1
+            and np.array_equal(np.asarray(sharded.odo_i), np.arange(M))
+            and np.array_equal(np.asarray(sharded.odo_j), np.arange(1, M + 1))
+            and np.asarray(sharded.odo_valid).all()
+        )
 
     def shard_fn(s: ShardedBAProblem):
         local = _local_problem(s)
+        tables = ba.GatherTables(
+            kf_rows=s.kf_rows[0],
+            odo_i_rows=None,
+            odo_j_rows=None,
+            lm_sort_rows=s.lm_sort_rows[0],
+            lm_flags=s.lm_flags[0],
+            lm_ends=s.lm_ends[0],
+        )
         K = local.poses.shape[0]
         Ls = local.landmarks.shape[0]
         prior_pose = local.poses[0]
@@ -178,11 +259,13 @@ def solve_dist(
             poses, landmarks, lam, last_cost = carry
             prob = local._replace(poses=poses, landmarks=landmarks)
             Hpp_obs, Hll, Apl, bp_obs, bl = ba.obs_linear_blocks(
-                prob, poses, landmarks, K, Ls
+                prob, poses, landmarks, K, Ls, tables
             )
             Hpp_obs = jax.lax.psum(Hpp_obs, AXIS)
             bp_obs = jax.lax.psum(bp_obs, AXIS)
-            Hpp_odo, Hij, bp_odo = ba.odo_linear_blocks(prob, poses, landmarks, K)
+            Hpp_odo, Hij, bp_odo = ba.odo_linear_blocks(
+                prob, poses, landmarks, K, tables, odo_chain
+            )
             Hpp_diag = Hpp_obs + Hpp_odo + lam * eye
             Hpp_diag = Hpp_diag.at[0].add(local.prior_w)
             Hll_inv = small_linalg.inv3x3(Hll + lam * eye)
@@ -197,28 +280,33 @@ def solve_dist(
             u = (Hll_inv @ bl[..., None])[..., 0]
             back = (Apl @ u[prob.obs_lm][..., None])[..., 0]
             bs = bp - jax.lax.psum(
-                jax.ops.segment_sum(back, prob.obs_kf, num_segments=K), AXIS
+                ba._seg_sum(back, prob.obs_kf, K, tables.kf_rows), AXIS
             )
 
             Minv = small_linalg.inv3x3(Hpp_diag)
 
             def matvec(v):
                 out = (Hpp_diag @ v[..., None])[..., 0]
-                vi = v[prob.odo_j]
-                out = out + jax.ops.segment_sum(
-                    (Hij @ vi[..., None])[..., 0], prob.odo_i, num_segments=K
-                )
-                vj = v[prob.odo_i]
-                out = out + jax.ops.segment_sum(
-                    (jnp.swapaxes(Hij, -1, -2) @ vj[..., None])[..., 0],
-                    prob.odo_j, num_segments=K,
-                )
+                if odo_chain:
+                    ci = (Hij @ v[1:][..., None])[..., 0]
+                    cj = (jnp.swapaxes(Hij, -1, -2) @ v[:-1][..., None])[..., 0]
+                    out = out + ba._chain_pad_i(ci) + ba._chain_pad_j(cj)
+                else:
+                    vi = v[prob.odo_j]
+                    out = out + jax.ops.segment_sum(
+                        (Hij @ vi[..., None])[..., 0], prob.odo_i, num_segments=K
+                    )
+                    vj = v[prob.odo_i]
+                    out = out + jax.ops.segment_sum(
+                        (jnp.swapaxes(Hij, -1, -2) @ vj[..., None])[..., 0],
+                        prob.odo_j, num_segments=K,
+                    )
                 t = (jnp.swapaxes(Apl, -1, -2) @ v[prob.obs_kf][..., None])[..., 0]
-                t_lm = jax.ops.segment_sum(t, prob.obs_lm, num_segments=Ls)
+                t_lm = ba._seg_sum_lm(t, prob.obs_lm, Ls, tables)
                 u2 = (Hll_inv @ t_lm[..., None])[..., 0]
                 back2 = (Apl @ u2[prob.obs_lm][..., None])[..., 0]
                 out = out - jax.lax.psum(
-                    jax.ops.segment_sum(back2, prob.obs_kf, num_segments=K), AXIS
+                    ba._seg_sum(back2, prob.obs_kf, K, tables.kf_rows), AXIS
                 )
                 return out
 
@@ -264,7 +352,7 @@ def solve_dist(
 
             # local landmark back-substitution
             t = (jnp.swapaxes(Apl, -1, -2) @ dp[prob.obs_kf][..., None])[..., 0]
-            t_lm = jax.ops.segment_sum(t, prob.obs_lm, num_segments=Ls)
+            t_lm = ba._seg_sum_lm(t, prob.obs_lm, Ls, tables)
             dl = (Hll_inv @ (bl - t_lm)[..., None])[..., 0]
 
             new_poses = poses + dp
@@ -308,6 +396,8 @@ def solve_dist(
                     obs_lm=P(AXIS), obs_z=P(AXIS), obs_w=P(AXIS),
                     obs_valid=P(AXIS), odo_i=P(), odo_j=P(), odo_z=P(),
                     odo_w=P(), odo_valid=P(), prior_w=P(),
+                    kf_rows=P(AXIS), lm_sort_rows=P(AXIS),
+                    lm_flags=P(AXIS), lm_ends=P(AXIS),
                 ),
             ),
             out_specs=(P(), P(AXIS), P()),

@@ -66,13 +66,14 @@ def ekf_then_ba(
         seq, config, keyframe_stride=keyframe_stride,
         init_poses=traj, init_landmarks=init_landmarks,
     )
-    problem_j = jax.tree.map(jnp.asarray, problem)
+    packed, tables, static = ba.prepare(problem)
     poses, landmarks, stats = jax.jit(
-        lambda p: ba.solve(
+        lambda p, t: ba.solve(
             p, iters=ba_iters, cg_iters=cg_iters, damping=damping,
-            adaptive=adaptive, deflate_gauge=deflate_gauge,
+            adaptive=adaptive, deflate_gauge=deflate_gauge, tables=t,
+            **static,
         ),
-    )(problem_j)
+    )(packed, tables)
     return {
         "ekf_result": ekf_result,
         "problem": problem,

@@ -179,12 +179,19 @@ def config_image_level(batch=32, duration=10.0):
 
 def config4_ba(n_kf=1000, n_lm=500, iters=10, cg=50):
     problems = []
+    static = None
     for s in range(3):
         p, _, _ = graph_builder.synthetic_ba_problem(
             n_kf, n_lm, obs_per_kf=8, seed=s
         )
-        problems.append(jax.tree.map(jnp.asarray, p))
-    solve = jax.jit(lambda p: ba.solve(p, iters=iters, cg_iters=cg, damping=1e-4))
+        packed, tables, static = ba.prepare(p)
+        problems.append((packed, tables))
+    solve = jax.jit(
+        lambda pt: ba.solve(
+            pt[0], iters=iters, cg_iters=cg, damping=1e-4, tables=pt[1],
+            **static,
+        )
+    )
     dt, last = timeit(solve, problems, reps=6)
     stats = last[2]
     return {
@@ -204,10 +211,14 @@ def config5_dist_ba(n_kf=10000, n_lm=5000):
         n_kf, n_lm, obs_per_kf=8, seed=0
     )
     out = {"keyframes": n_kf, "landmarks": n_lm, "devices": n_dev}
-    # single-device timing at full size
-    pj = jax.tree.map(jnp.asarray, problem)
-    solve = jax.jit(lambda p: ba.solve(p, iters=5, cg_iters=50, damping=1e-4))
-    dt, _ = timeit(solve, [pj], reps=3)
+    # single-device timing at full size (packed fast path)
+    packed, tables, static = ba.prepare(problem)
+    solve = jax.jit(
+        lambda pt: ba.solve(
+            pt[0], iters=5, cg_iters=50, damping=1e-4, tables=pt[1], **static
+        )
+    )
+    dt, _ = timeit(solve, [(packed, tables)], reps=3)
     out["single_device_gn_iters_per_sec"] = 5 / dt
     if n_dev >= 2:
         sharded, _ = dist_ba.partition_problem(problem, n_dev)
