@@ -43,6 +43,13 @@ Array = jax.Array
 class DetectorConfig:
     max_candidates: int = 24
     adaptive_radius: int = 7  # window = 2r+1 (OpenCV winSize 15 mid-sweep)
+    # Windowed mean for the adaptive threshold computed on a
+    # mean_stride-block-reduced image and nearest-upsampled: the full-res
+    # integral image is 2 log-pass cumsums over padded [H, W] f32 (~1
+    # ms/frame at batch); the block-reduced one is 1/stride^2 of that.
+    # The mean is a smooth field — stride 4 leaves recall unchanged on the
+    # parity sweep. 1 = exact full-res integral image.
+    mean_stride: int = 4
     # Optional multi-scale sweep (OpenCV sweeps winSize 3..23 step 10):
     # candidates from every radius are decoded together and deduped by id.
     adaptive_radii: tuple = ()  # empty = single adaptive_radius
@@ -65,6 +72,10 @@ class DetectorConfig:
     # label window. Components thinner than the stride in BOTH axes can be
     # missed — decodable markers are filled quads far above that.
     stats_stride: int = 4
+    # Candidate selection via jax.lax.approx_max_k (TPU-optimized;
+    # recall_target 0.99 per candidate over the subsampled stats grid).
+    # False = exact lax.top_k.
+    approx_topk: bool = True
     # Corner extraction samples a [W, W] window per candidate (strided when
     # the component is larger) instead of masking the full image — bounds
     # peak memory to [batch, K, W^2] and lets image-level replay run at
@@ -108,25 +119,48 @@ class Detections(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def adaptive_threshold(img: Array, radius: int, C: float) -> Array:
+def adaptive_threshold(
+    img: Array, radius: int, C: float, mean_stride: int = 1
+) -> Array:
     """Binary foreground (dark regions): img < window_mean - C.
 
     Equivalent to OpenCV ADAPTIVE_THRESH_MEAN_C + THRESH_BINARY_INV, via an
-    integral image (edge-padded so borders use shrunken windows)."""
+    integral image (edge-padded so borders use shrunken windows). With
+    ``mean_stride`` > 1 the mean field is computed from a block-reduced
+    image and nearest-upsampled — the integral-image cumsums are the
+    dominant cost of this stage and the mean is smooth at the radius
+    scale."""
     x = img.astype(jnp.float32)
     h, w = x.shape
+    s_ = mean_stride
+    if s_ > 1 and h % s_ == 0 and w % s_ == 0:
+        blocks = x.reshape(h // s_, s_, w // s_, s_).mean(axis=(1, 3))
+        r_ds = max(1, round(radius / s_))
+        p = r_ds
+        xp = jnp.pad(blocks, ((p + 1, p), (p + 1, p)), mode="edge")
+        ii = jnp.cumsum(jnp.cumsum(xp, axis=0), axis=1)
+        win = 2 * r_ds + 1
+        sums = (
+            ii[win:, win:]
+            - ii[:-win, win:]
+            - ii[win:, :-win]
+            + ii[:-win, :-win]
+        )
+        mean_ds = sums / (win * win)
+        mean = jnp.repeat(jnp.repeat(mean_ds, s_, axis=0), s_, axis=1)
+        return x < (mean - C)
     # pad with edge values so window means at borders are sane
     p = radius
     xp = jnp.pad(x, ((p + 1, p), (p + 1, p)), mode="edge")
     ii = jnp.cumsum(jnp.cumsum(xp, axis=0), axis=1)
     win = 2 * radius + 1
-    s = (
+    sums = (
         ii[win:, win:]
         - ii[:-win, win:]
         - ii[win:, :-win]
         + ii[:-win, :-win]
     )
-    mean = s / (win * win)
+    mean = sums / (win * win)
     return x < (mean - C)
 
 
@@ -281,8 +315,16 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
     max_ds = jnp.int32(cfg.max_component_fraction * nb)
     ok = (counts >= min_ds) & (counts <= max_ds)
     score = jnp.where(ok, counts, 0)
-    _, cells_k = jax.lax.top_k(score, cfg.max_candidates)
-    cand_valid = score[cells_k] > 0
+    if cfg.approx_topk:
+        # TPU-optimized approximate top-k (exact fallback elsewhere);
+        # recall per element 0.99 over a ~19k-cell domain for 24 slots
+        svals, cells_k = jax.lax.approx_max_k(
+            score.astype(jnp.float32), cfg.max_candidates, recall_target=0.99
+        )
+        cand_valid = svals > 0
+    else:
+        _, cells_k = jax.lax.top_k(score, cfg.max_candidates)
+        cand_valid = score[cells_k] > 0
     roots = root_lab[cells_k]
     # bbox quantization: subsampling can miss extremes by up to st-1 px
     c_x0 = jnp.maximum(bb_minx[cells_k] - (st - 1), 0)
@@ -588,7 +630,7 @@ def _label_components_dispatch(fg: Array, cfg: DetectorConfig) -> Array:
 
 
 def _candidates_at_radius(img: Array, radius: int, cfg: DetectorConfig):
-    fg = adaptive_threshold(img, radius, cfg.adaptive_C)
+    fg = adaptive_threshold(img, radius, cfg.adaptive_C, cfg.mean_stride)
     labels = _label_components_dispatch(fg, cfg)
     return extract_quads(labels, fg, cfg)
 

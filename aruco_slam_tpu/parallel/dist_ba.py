@@ -86,17 +86,34 @@ class ShardedBAProblem(NamedTuple):
 
 
 def partition_problem(problem: BAProblem, n_shards: int) -> tuple[ShardedBAProblem, np.ndarray]:
-    """Partition landmarks into contiguous blocks and route each observation
-    to its landmark's owner. Returns (sharded, lm_perm) where lm_perm maps
-    global landmark slot -> row in the concatenated [D*Ls] output."""
+    """Partition landmarks across shards and route each observation to its
+    landmark's owner. Returns (sharded, lm_perm) where lm_perm maps global
+    landmark slot -> row in the concatenated [D*Ls] output.
+
+    Assignment is LPT (longest-processing-time) on observation counts with
+    a per-shard landmark capacity: per-shard work between collectives is
+    proportional to owned observations, and round-1's contiguous blocks
+    left a 1.22x max/mean imbalance on the 10k/5k problem (results.json
+    ``scaling.work_balance``); LPT brings it to ~1.00."""
     L = problem.landmarks.shape[0]
-    Ls = -(-L // n_shards)  # ceil
-    lm_owner = np.minimum(np.arange(L) // Ls, n_shards - 1)
-    lm_local = np.arange(L) - lm_owner * Ls
+    Ls = -(-L // n_shards)  # ceil: per-shard landmark capacity
 
     obs_kf = np.asarray(problem.obs_kf)
     obs_lm = np.asarray(problem.obs_lm)
     obs_valid = np.asarray(problem.obs_valid)
+    counts_lm = np.bincount(obs_lm[obs_valid], minlength=L)
+    lm_owner = np.empty(L, np.int64)
+    lm_local = np.empty(L, np.int64)
+    loads = np.zeros(n_shards, np.int64)
+    filled = np.zeros(n_shards, np.int64)
+    for l in np.argsort(-counts_lm, kind="stable"):
+        open_shards = np.nonzero(filled < Ls)[0]
+        d = open_shards[np.argmin(loads[open_shards])]
+        lm_owner[l] = d
+        lm_local[l] = filled[d]
+        filled[d] += 1
+        loads[d] += counts_lm[l]
+
     owner = lm_owner[obs_lm]
     counts = [int(np.sum((owner == d) & obs_valid)) for d in range(n_shards)]
     Ns = max(1, max(counts))
@@ -121,10 +138,8 @@ def partition_problem(problem: BAProblem, n_shards: int) -> tuple[ShardedBAProbl
         v[: sel.sum()] = True
         sv.append(v)
         block = np.zeros((Ls, 3), np.asarray(problem.landmarks).dtype)
-        lo = d * Ls
-        hi = min(L, lo + Ls)
-        if hi > lo:
-            block[: hi - lo] = np.asarray(problem.landmarks)[lo:hi]
+        mine = np.nonzero(lm_owner == d)[0]
+        block[lm_local[mine]] = np.asarray(problem.landmarks)[mine]
         lms.append(block)
         # shard-local solver tables (see ShardedBAProblem docstring)
         nv = int(sel.sum())

@@ -112,8 +112,10 @@ def detect_frames(
     )
 
 
-def _detections_to_corner_data(data: ReplayData, det_cfg: DetectorConfig) -> ReplayData:
-    ids, corners, valid = detect_frames(data.images, det_cfg)
+def _detections_to_corner_data(
+    data: ReplayData, det_cfg: DetectorConfig, det_chunk: int = 32
+) -> ReplayData:
+    ids, corners, valid = detect_frames(data.images, det_cfg, det_chunk)
     return data._replace(
         obs_ids=ids, corners_px=corners, obs_valid=valid, images=None,
         obs_z=jnp.zeros((*ids.shape, 3), corners.dtype),
@@ -144,14 +146,19 @@ def replay(
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
     det_cfg: DetectorConfig = DetectorConfig(),
+    det_chunk: int = 32,
 ) -> ReplayResult:
     """Run the full SLAM pipeline over one sequence.
 
     level: "obs" (measurement stream), "corners" (PnP front-end), or
     "images" (full pipeline: batched detection pass, then the jitted
-    corner-level replay scan)."""
+    corner-level replay scan). ``det_chunk``: frames per detection
+    dispatch. The host loop issues dispatches asynchronously, so the
+    per-dispatch round-trip pipelines away and larger chunks only raise
+    memory pressure — 16/32 measured fastest, monotonically worse to 128
+    (benchmarks/detect_chunk_sweep.py)."""
     if level == "images":
-        data = _detections_to_corner_data(data, det_cfg)
+        data = _detections_to_corner_data(data, det_cfg, det_chunk)
         level = "corners"
     return _replay_jit(data, config, camera, level)
 
@@ -207,11 +214,12 @@ def replay_batch(
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
     det_cfg: DetectorConfig = DetectorConfig(),
+    det_chunk: int = 32,
 ) -> ReplayResult:
     """vmapped multi-sequence replay: every field of ``data`` carries a
     leading batch axis (io.sequence.stack_sequences)."""
     if level == "images":
-        data = _detections_to_corner_data(data, det_cfg)
+        data = _detections_to_corner_data(data, det_cfg, det_chunk)
         level = "corners"
     return _replay_batch_jit(data, config, camera, level)
 

@@ -126,6 +126,41 @@ def bench_reference_numpy(seq, n_frames=150, marker_length=0.27):
     return n_frames / dt
 
 
+def bench_image_level(cam, batch=32, duration=6.0):
+    """Secondary metric: full image pipeline (rendered 640x480 frames ->
+    detector -> PnP -> EKF) at batch 32 — BASELINE.md config 3b."""
+    import jax
+    import jax.numpy as jnp
+
+    from aruco_slam_tpu import runner
+    from aruco_slam_tpu.sim import synthetic
+    from aruco_slam_tpu.utils.config import EkfConfig, SlamConfig
+
+    cfg = SlamConfig(ekf=EkfConfig(max_landmarks=32, max_observations_per_frame=24))
+    cpu = jax.devices("cpu")[0]
+    seqs = []
+    with jax.default_device(cpu):
+        for s in range(2):
+            seqs.append(
+                synthetic.generate_sequence(
+                    synthetic.SimParams(duration=duration, seed=s),
+                    level="images",
+                    camera=cam,
+                )
+            )
+    f = seqs[0].num_frames
+    data = runner.build_batch_data(seqs, batch, "images")
+    data = jax.tree.map(jnp.asarray, data)
+    out = runner.replay_batch(data, cfg, cam, "images")
+    np.asarray(out.trajectory)  # true first-exec barrier
+    t0 = time.perf_counter()
+    for _ in range(2):
+        out = runner.replay_batch(data, cfg, cam, "images")
+        jax.block_until_ready(out.trajectory)
+    dt = (time.perf_counter() - t0) / 2
+    return batch * f / dt
+
+
 def main():
     from aruco_slam_tpu.ops.camera import CameraIntrinsics
     from aruco_slam_tpu.utils.config import EkfConfig, SlamConfig
@@ -134,6 +169,11 @@ def main():
     cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
     data, seqs = build_data(batch=64, duration=60.0, cam=cam)
     fps, _ = bench_tpu(data, cfg, cam, "corners", reps=3)
+    try:
+        img_fps = round(bench_image_level(cam), 1)
+    except Exception as e:  # keep the driver contract line alive
+        print(f"WARNING: image-level leg failed: {e}", file=sys.stderr)
+        img_fps = None
     drift_fps = bench_reference_numpy(seqs[0], n_frames=60)
     if not (0.4 * PINNED_BASELINE_FPS < drift_fps < 2.5 * PINNED_BASELINE_FPS):
         print(
@@ -149,6 +189,7 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / PINNED_BASELINE_FPS, 2),
+                "image_level_frames_per_sec_per_chip": img_fps,
             }
         )
     )

@@ -45,8 +45,12 @@ def timeit(fn, *args, reps=5):
 
 
 f_thr = jax.jit(jax.vmap(lambda im: det.adaptive_threshold(im, CFG.adaptive_radius, CFG.adaptive_C)))
-t, fg = timeit(f_thr, imgs)
-print(f"threshold : {1e3*t/B:8.2f} ms/frame", flush=True)
+t, _ = timeit(f_thr, imgs)
+print(f"threshold exact : {1e3*t/B:8.2f} ms/frame", flush=True)
+f_thr2 = jax.jit(jax.vmap(lambda im: det.adaptive_threshold(
+    im, CFG.adaptive_radius, CFG.adaptive_C, CFG.mean_stride)))
+t, fg = timeit(f_thr2, imgs)
+print(f"threshold s{CFG.mean_stride}    : {1e3*t/B:8.2f} ms/frame", flush=True)
 
 f_ccl = jax.jit(jax.vmap(lambda m: det.label_components(m, CFG.ccl_rounds)))
 t, labels = timeit(f_ccl, fg)

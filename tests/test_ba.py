@@ -304,3 +304,61 @@ def test_adaptive_lm_rejects_bad_steps():
     hist = np.asarray(stats_ad.cost_history)
     assert np.all(np.diff(hist) <= 1e-4 * hist[0]), hist
     assert hist[-1] < hist[0]
+
+
+def test_packed_fast_path_matches_default_solve():
+    """ba.prepare (kf-major packing + chain odometry + sorted-segmented-
+    scan landmark reduction) must reproduce the plain segment_sum solve to
+    f32 reassociation tolerance — on a problem with UNEVEN per-keyframe
+    observation counts so the padding path is exercised."""
+    problem, _, _ = graph_builder.synthetic_ba_problem(
+        n_keyframes=40, n_landmarks=25, obs_per_kf=5, seed=3
+    )
+    # make counts uneven: invalidate a scattered subset of observations
+    rng = np.random.default_rng(0)
+    valid = np.asarray(problem.obs_valid).copy()
+    valid[rng.choice(len(valid), size=30, replace=False)] = False
+    problem = problem._replace(obs_valid=valid)
+    base = jax.tree.map(jnp.asarray, problem)
+    p0, l0, s0 = jax.jit(
+        lambda p: ba.solve(p, iters=4, cg_iters=60, damping=1e-4)
+    )(base)
+    packed, tables, static = ba.prepare(problem)
+    assert static["odo_chain"] is True
+    p1, l1, s1 = jax.jit(
+        lambda p, t: ba.solve(
+            p, iters=4, cg_iters=60, damping=1e-4, tables=t, **static
+        )
+    )(packed, tables)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=2e-4)
+    np.testing.assert_allclose(
+        float(s0.final_cost), float(s1.final_cost), rtol=1e-4
+    )
+
+
+def test_seg_sum_lm_scan_matches_segment_sum():
+    """The sorted-segmented-scan reduction == jax.ops.segment_sum on a
+    skewed id distribution, for [N, 3] and [N, 3, 3] operands."""
+    rng = np.random.default_rng(1)
+    N, L = 500, 17
+    # skewed: landmark 3 owns half the observations; landmark 7 owns none
+    ids = np.where(
+        rng.random(N) < 0.5, 3, rng.integers(0, L, N)
+    ).astype(np.int32)
+    ids[ids == 7] = 2
+    prob = graph_builder.synthetic_ba_problem(8, L, obs_per_kf=2, seed=0)[0]
+    prob = prob._replace(
+        obs_kf=np.zeros(N, np.int32), obs_lm=ids,
+        obs_z=np.zeros((N, 3), np.float32),
+        obs_w=np.zeros((N, 3, 3), np.float32),
+        obs_valid=np.ones(N, bool),
+    )
+    tables = ba.build_tables(prob)
+    for shape in [(N, 3), (N, 3, 3)]:
+        vals = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        want = jax.ops.segment_sum(vals, jnp.asarray(ids), num_segments=L)
+        got = ba._seg_sum_lm(vals, jnp.asarray(ids), L, tables)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )

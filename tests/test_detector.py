@@ -199,3 +199,35 @@ def test_ccl_matches_scipy_oracle():
         # background keeps its own flat index
         flat_idx = np.arange(fg.size).reshape(fg.shape)
         np.testing.assert_array_equal(labels[~fg], flat_idx[~fg])
+
+
+def test_extract_quads_tall_narrow_trapezoid():
+    """Round-2 regression: on tall-narrow (shallow-view) quads the farthest
+    point from one corner is an ADJACENT corner, which collapsed the old
+    farthest-from-p0 corner chain (missed marker id 6 in the parity sweep's
+    shallow2 scene). The diagonal-scored chain must recover all 4 corners."""
+    import numpy as np
+
+    h, w = 480, 640
+    quad = np.array([[133, 170], [182, 183], [182, 297], [134, 310]], float)
+    yy, xx = np.mgrid[0:h, 0:w]
+
+    def inside(q):
+        m = np.ones((h, w), bool)
+        for i in range(4):
+            a, b = q[i], q[(i + 1) % 4]
+            cross = (b[0] - a[0]) * (yy - a[1]) - (b[1] - a[1]) * (xx - a[0])
+            m &= cross >= 0
+        return m
+
+    fg = jnp.asarray(inside(quad))
+    cfg = detector.DetectorConfig()
+    labels = detector.label_components(fg, cfg.ccl_rounds)
+    corners, valid = detector.extract_quads(labels, fg, cfg)
+    corners = np.asarray(corners)[np.asarray(valid)]
+    assert len(corners) == 1, len(corners)
+    got = corners[0]
+    # each true corner matched within a few px (subsampled bbox margin)
+    for q in quad:
+        d = np.min(np.linalg.norm(got - q, axis=1))
+        assert d < 5.0, (q, got)
