@@ -36,7 +36,8 @@ def observations_from_corners(
     - covariance Frobenius-norm gate ||R|| > 1 (src/aruco_slam.cpp:367-368).
     """
     res = pnp.solve_pnp_square_batch(
-        corners_px, camera, config.aruco.marker_length, 10
+        corners_px, camera, config.aruco.marker_length,
+        config.aruco.pnp_refine_iters,
     )
     t_r2c = jnp.asarray([config.t_r2c_x, config.t_r2c_y], corners_px.dtype)
     z = pnp.camera_observation_to_robot(res.rvec, res.tvec, t_r2c)

@@ -49,6 +49,11 @@ class ArucoConfig:
 
     markers_dictionary: int = ARUCO_ORIGINAL_DICT_ID
     marker_length: float = 0.27
+    # PnP Gauss-Newton trip count (settle-2 dual start + finish). The
+    # corner-level replay is sequential-depth bound and accuracy saturates
+    # by ~4 iterations (pose error flat 4..14 iters, shallow-angle flip
+    # rate 0/400 at 6 — benchmarks/pnp_iters_probe.py); 6 keeps margin.
+    pnp_refine_iters: int = 6
 
 
 @dataclass(frozen=True)
