@@ -56,8 +56,10 @@ class DetectorConfig:
     adaptive_C: float = 7.0
     # CCL rounds: one 8-neighbor min + 4 directional segmented run-scans
     # each. Rendered marker scenes converge by 4 (benchmarks/
-    # ccl_oracle_probe.py); 8 doubles that margin. Only extreme staircase
-    # geodesics (a very close, strongly tilted marker ring) need more.
+    # ccl_oracle_probe.py; the parity sweep is recall-identical at 4), but
+    # the label image is advertised as a general CCL and the scipy-oracle
+    # test's dilated random blobs genuinely need 8 (component splits at 5)
+    # — keep the primitive's contract.
     ccl_rounds: int = 8
     # CCL backend: None = auto (Pallas VMEM-resident kernel on TPU for
     # (8,128)-tile-aligned frames, XLA scans otherwise); True/False force.
@@ -629,9 +631,30 @@ def _label_components_dispatch(fg: Array, cfg: DetectorConfig) -> Array:
     return label_components(fg, cfg.ccl_rounds)
 
 
-def _candidates_at_radius(img: Array, radius: int, cfg: DetectorConfig):
+def _threshold_and_label(img: Array, radius: int, cfg: DetectorConfig):
+    """Threshold + CCL, fused into one Pallas megakernel on TPU (one HBM
+    read of the image; the fg mask never round-trips through HBM) —
+    bit-identical to the XLA pair, which runs elsewhere."""
+    h, w = img.shape
+    stride = max(cfg.mean_stride, 1)
+    aligned = (
+        h % 8 == 0 and w % 128 == 0 and h % stride == 0 and w % stride == 0
+    )
+    use_pallas = cfg.use_pallas_ccl
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and aligned:
+        from aruco_slam_tpu.ops.kernels import ccl as ccl_kernel
+
+        return ccl_kernel.threshold_label_tpu(
+            img, radius, cfg.adaptive_C, stride, cfg.ccl_rounds
+        )
     fg = adaptive_threshold(img, radius, cfg.adaptive_C, cfg.mean_stride)
-    labels = _label_components_dispatch(fg, cfg)
+    return fg, _label_components_dispatch(fg, cfg)
+
+
+def _candidates_at_radius(img: Array, radius: int, cfg: DetectorConfig):
+    fg, labels = _threshold_and_label(img, radius, cfg)
     return extract_quads(labels, fg, cfg)
 
 

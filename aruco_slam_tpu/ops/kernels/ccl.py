@@ -56,12 +56,66 @@ def _shift(x: Array, dy: int, dx: int, fill, row_ids: Array, col_ids: Array):
     return y
 
 
-def _ccl_kernel(fg_ref, out_ref, *, rounds: int, h: int, w: int):
+def _fg_from_image(x, radius, C, stride, row_ids, col_ids, h, w):
+    """In-kernel adaptive threshold, bit-identical to
+    ``detector.adaptive_threshold(img, radius, C, mean_stride=stride)``:
+    every sum is exact integer arithmetic in f32 (block sums <= 16*255,
+    windowed block-mean sums < 2^24 in 1/16 units), so any summation order
+    gives the same value; the two divisions (by 16 and by win^2) are the
+    same ops the XLA path performs.
+
+    The windowed mean over the stride-subsampled block grid is built from
+    CHAINED one-block clamped shifts (chaining a one-step clamped shift k
+    times reads the edge-replicated block, exactly like the XLA path's
+    edge padding) — no cumsum, which Mosaic doesn't lower."""
+    s = stride
+    r_ds = max(1, round(radius / s))
+
+    def shift(v, dy, dx, fill):
+        return _shift(v, dy, dx, fill, row_ids, col_ids)
+
+    # 4x4 (s x s) block sums at block-anchor positions (y % s == 0, ...)
+    t = x
+    for k in range(1, s):
+        t = t + shift(x, -k, 0, 0.0)
+    b = t
+    for k in range(1, s):
+        b = b + shift(t, 0, -k, 0.0)
+    bm = b * (1.0 / (s * s))  # block mean (exact: /16 is a power of two)
+
+    def clamp_shift(v, dy, dx):
+        sh = shift(v, dy, dx, 0.0)
+        if dy > 0:
+            return jnp.where(row_ids < dy, v, sh)
+        if dy < 0:
+            return jnp.where(row_ids >= h + dy, v, sh)
+        if dx > 0:
+            return jnp.where(col_ids < dx, v, sh)
+        return jnp.where(col_ids >= w + dx, v, sh)
+
+    def chain_sum(v, dy, dx):
+        out = v
+        cur = v
+        for _ in range(r_ds):
+            cur = clamp_shift(cur, dy, dx)
+            out = out + cur
+        return out
+
+    rowsum = chain_sum(bm, s, 0) + chain_sum(bm, -s, 0) - bm
+    winsum = chain_sum(rowsum, 0, s) + chain_sum(rowsum, 0, -s) - rowsum
+    win = 2 * r_ds + 1
+    mean = winsum / float(win * win)
+    # nearest-upsample the block-anchor value across its s x s block
+    for k in range(1, s):
+        mean = jnp.where((row_ids % s) == k, clamp_shift(mean, 1, 0), mean)
+    for k in range(1, s):
+        mean = jnp.where((col_ids % s) == k, clamp_shift(mean, 0, 1), mean)
+    return x < (mean - C)
+
+
+def _ccl_body(fgm, row_ids, col_ids, h, w, rounds):
     big = jnp.int32(h * w)
     one = jnp.int32(1)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    fgm = fg_ref[:] > 0  # bool mask in VMEM
     idx = row_ids * w + col_ids
 
     def shift(x, dy, dx, fill):
@@ -109,7 +163,26 @@ def _ccl_kernel(fg_ref, out_ref, *, rounds: int, h: int, w: int):
         lab = seg_scan(lab, 0, True)
         return lab
 
-    out_ref[:] = jax.lax.fori_loop(0, rounds, round_fn, idx)
+    return jax.lax.fori_loop(0, rounds, round_fn, idx)
+
+
+def _ccl_kernel(fg_ref, out_ref, *, rounds: int, h: int, w: int):
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    fgm = fg_ref[:] > 0  # bool mask in VMEM
+    out_ref[:] = _ccl_body(fgm, row_ids, col_ids, h, w, rounds)
+
+
+def _threshold_ccl_kernel(
+    img_ref, fg_out, lab_out, *, rounds: int, h: int, w: int,
+    radius: int, C: float, stride: int,
+):
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    x = img_ref[:].astype(jnp.float32)
+    fgm = _fg_from_image(x, radius, C, stride, row_ids, col_ids, h, w)
+    fg_out[:] = fgm.astype(jnp.int32)
+    lab_out[:] = _ccl_body(fgm, row_ids, col_ids, h, w, rounds)
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "interpret"))
@@ -132,3 +205,48 @@ def label_components_tpu(fg: Array, rounds: int, interpret: bool = False) -> Arr
         interpret=interpret,
     )(fg.astype(jnp.int32))
     return out.reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "C", "stride", "rounds", "interpret")
+)
+def threshold_label_tpu(
+    img: Array,
+    radius: int,
+    C: float,
+    stride: int,
+    rounds: int,
+    interpret: bool = False,
+):
+    """Fused adaptive threshold + CCL megakernel: one HBM read of the
+    image, one write each of (fg, labels); the thresholded mask never
+    round-trips through HBM between the stages. Bit-identical to
+    ``detector.adaptive_threshold(..., mean_stride=stride)`` followed by
+    ``detector.label_components`` (asserted in tests) — the threshold's
+    arithmetic is exact-integer until its two divisions, so the in-kernel
+    chained-shift formulation reproduces the XLA cumsum formulation
+    exactly.
+
+    Returns (fg [H, W] bool, labels [H*W] int32). Requires (8, 128)-tile
+    alignment and H, W divisible by ``stride``.
+    """
+    h, w = img.shape
+    if h % 8 or w % 128 or h % stride or w % stride:
+        raise ValueError(f"image {h}x{w} not aligned for stride {stride}")
+    fg, lab = pl.pallas_call(
+        functools.partial(
+            _threshold_ccl_kernel, rounds=rounds, h=h, w=w,
+            radius=radius, C=C, stride=stride,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(img.astype(jnp.float32))
+    return fg > 0, lab.reshape(-1)

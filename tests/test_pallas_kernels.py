@@ -113,3 +113,34 @@ def test_ccl_kernel_rejects_unaligned():
 
     with _pytest.raises(ValueError):
         ccl.label_components_tpu(jnp.zeros((100, 130), bool), 2, interpret=True)
+
+
+def test_threshold_ccl_megakernel_matches_xla():
+    """The fused threshold+CCL megakernel must reproduce the XLA pair
+    (adaptive_threshold + label_components) BIT-identically — the in-kernel
+    threshold is exact-integer arithmetic until its two divisions, so the
+    chained-clamped-shift windowed mean equals the cumsum/edge-pad one."""
+    import numpy as np
+    from aruco_slam_tpu.ops import detector
+    from aruco_slam_tpu.ops.kernels import ccl
+
+    rng = np.random.default_rng(5)
+    for shape, stride, radius in (
+        ((64, 256), 4, 7),
+        ((64, 128), 1, 5),
+        ((128, 128), 2, 7),
+    ):
+        img = jnp.asarray(rng.integers(0, 256, shape).astype(np.uint8))
+        fg_k, lab_k = ccl.threshold_label_tpu(
+            img, radius, 7.0, stride, 4, interpret=True
+        )
+        fg_x = jax.jit(
+            lambda im, r=radius, s=stride: detector.adaptive_threshold(
+                im, r, 7.0, s
+            )
+        )(img)
+        lab_x = jax.jit(
+            lambda m: detector.label_components(m, 4)
+        )(fg_x)
+        assert jnp.array_equal(fg_k, fg_x), (shape, stride, radius)
+        assert jnp.array_equal(lab_k, lab_x), (shape, stride, radius)
