@@ -203,9 +203,26 @@ def predict_block(state: EkfState, controls: Control, config: SlamConfig) -> Ekf
     The first-encoder latch consumes the first tick of the first block, as
     in :func:`predict` (reference src/aruco_slam.cpp:24-29).
     """
+    pose, A, Q = predict_compose(
+        state.mu[:3], state.initialized, controls, config
+    )
+    mu = state.mu.at[:3].set(pose)
+    sigma = state.sigma
+    sigma = sigma.at[:3, :].set(A @ sigma[:3, :])
+    sigma = sigma.at[:, :3].set(sigma[:, :3] @ A.T)
+    sigma = sigma.at[:3, :3].add(Q)
+    return state._replace(mu=mu, sigma=sigma, initialized=jnp.ones((), bool))
+
+
+def predict_compose(pose0, initialized, controls: Control, config: SlamConfig):
+    """Compose a block of encoder ticks into (pose, A, Q): the integrated
+    pose mean and the folded 3x3 covariance transform
+    ``sigma' = blockdiag(A, I) sigma blockdiag(A, I)^T + blockdiag(Q, 0)``
+    — the cheap sequential part of :func:`predict_block`, exposed so the
+    batched Pallas frame kernel can apply the big-sigma touch on-chip."""
     odom = config.odom
     cov = config.covariance
-    dtype = state.mu.dtype
+    dtype = pose0.dtype
     eye3 = jnp.eye(3, dtype=dtype)
 
     def tick(carry, ctrl):
@@ -253,17 +270,11 @@ def predict_block(state: EkfState, controls: Control, config: SlamConfig) -> Ekf
         Q = jnp.where(initialized, Q_new, Q)
         return (pose, A, Q, jnp.ones((), bool)), None
 
-    init = (state.mu[:3], eye3, jnp.zeros((3, 3), dtype), state.initialized)
+    init = (pose0, eye3, jnp.zeros((3, 3), dtype), initialized)
     (pose, A, Q, _), _ = jax.lax.scan(
         tick, init, (controls.wl, controls.wr, controls.dt)
     )
-
-    mu = state.mu.at[:3].set(pose)
-    sigma = state.sigma
-    sigma = sigma.at[:3, :].set(A @ sigma[:3, :])
-    sigma = sigma.at[:, :3].set(sigma[:, :3] @ A.T)
-    sigma = sigma.at[:3, :3].add(Q)
-    return state._replace(mu=mu, sigma=sigma, initialized=jnp.ones((), bool))
+    return pose, A, Q
 
 
 # ---------------------------------------------------------------------------

@@ -221,6 +221,12 @@ def replay_batch(
     if level == "images":
         data = _detections_to_corner_data(data, det_cfg, det_chunk)
         level = "corners"
+    if (
+        config.ekf.update_backend == "auto"
+        and not config.ekf.fused_update
+        and jax.default_backend() == "tpu"
+    ):
+        return _replay_batch_kernel(data, config, camera, level)
     return _replay_batch_jit(data, config, camera, level)
 
 
@@ -234,6 +240,135 @@ def _replay_batch_jit(
     return jax.vmap(
         lambda d: _replay_jit(d, config, camera, level, batched=True)
     )(data)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "level", "interpret"))
+def _replay_batch_kernel(
+    data: ReplayData,
+    config: SlamConfig,
+    camera: Optional[CameraIntrinsics] = None,
+    level: str = "obs",
+    interpret: bool = False,
+) -> ReplayResult:
+    """Batched replay driven by the lanes-trailing Pallas frame kernel
+    (ops/kernels/ekf_update_batched): ONE kernel launch per frame replaces
+    the ~700 XLA launches of the vmapped scan step — 2.5x on the EKF half
+    of the corner-level step at batch 64 (477 vs ~1210 us/frame,
+    benchmarks/ekf_batched_perf.py). State rides the scan in trailing-batch
+    layout; results equal the vmapped path to f32 tolerance
+    (tests/test_pallas_kernels.py)."""
+    from aruco_slam_tpu.ops.kernels import ekf_update_batched as kb
+
+    batch, frames, m_obs = data.obs_ids.shape
+    max_lm = config.ekf.max_landmarks
+    n = 3 + 3 * max_lm
+    dtype = jnp.float32
+
+    enc_w = jnp.moveaxis(data.enc_w, 0, 1)  # [F, B, epf, 2]
+    enc_dt = jnp.moveaxis(data.enc_dt, 0, 1)
+    ids_fx = jnp.moveaxis(data.obs_ids, 0, 1)
+    valid_fx = jnp.moveaxis(data.obs_valid, 0, 1)
+    if level == "corners":
+        xs = (enc_w, enc_dt, ids_fx, jnp.moveaxis(data.corners_px, 0, 1),
+              valid_fx)
+    else:
+        xs = (enc_w, enc_dt, ids_fx, jnp.moveaxis(data.obs_z, 0, 1),
+              jnp.moveaxis(data.obs_R, 0, 1), valid_fx)
+
+    st0 = dict(
+        mu=jnp.zeros((n, batch), dtype),
+        sigma=jnp.zeros((n, n, batch), dtype),
+        slot_ids=jnp.full((max_lm, batch), -1, jnp.int32),
+        n_lm=jnp.zeros((1, batch), jnp.int32),
+        last_obs=jnp.zeros((max_lm, 3, batch), dtype),
+        seen=jnp.zeros((max_lm, batch), jnp.int32),
+        div=jnp.zeros((1, batch), jnp.int32),
+        drop=jnp.zeros((1, batch), jnp.int32),
+    )
+    init0 = jnp.zeros((batch,), bool)
+    compose = jax.vmap(
+        lambda p, i, wl, wr, dt: ekf.predict_compose(
+            p, i, ekf.Control(wl, wr, dt), config
+        )
+    )
+    arrival = jnp.arange(m_obs, dtype=jnp.int32)
+    big = jnp.asarray(2_000_000_000, jnp.int32)
+
+    def frame_step(carry, x):
+        st, init = carry
+        if level == "corners":
+            ew, edt, ids_f, corners_f, valid_f = x
+            frame = jax.vmap(
+                lambda i_, c_, v_: observations_from_corners(
+                    i_, c_, v_, camera, config
+                )
+            )(ids_f, corners_f, valid_f)
+        else:
+            ew, edt, ids_f, z_f, R_f, valid_f = x
+            frame = ekf.FrameObservations(
+                ids=ids_f, z=z_f, R=R_f, valid=valid_f
+            )
+        pose, A, Q = compose(
+            st["mu"][:3].T, init, ew[..., 0], ew[..., 1], edt
+        )
+        slots = jax.vmap(ekf.lookup_slots)(st["slot_ids"].T, frame.ids)
+        key = jnp.where(frame.valid, slots * m_obs + arrival[None, :], big)
+        perm = jnp.argsort(key, axis=1)
+        ids_s = jnp.take_along_axis(frame.ids, perm, axis=1)
+        valid_s = jnp.take_along_axis(frame.valid, perm, axis=1)
+        slots_s = jnp.take_along_axis(slots, perm, axis=1)
+        z_s = jnp.take_along_axis(frame.z, perm[..., None], axis=1)
+        R_s = jnp.take_along_axis(
+            frame.R.reshape(batch, m_obs, 9), perm[..., None], axis=1
+        )
+        # Sanitize invalid slots: the vmapped path's lax.cond skips them
+        # entirely, but the kernel computes masked — a NaN measurement
+        # (e.g. PnP on padded corners) would otherwise leak through
+        # 0 * NaN into the masked updates.
+        ok = valid_s[..., None]
+        z_s = jnp.where(ok, z_s, 0.0)
+        eye9 = jnp.asarray(
+            [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0], z_s.dtype
+        )
+        R_s = jnp.where(ok, R_s, eye9)
+        st = kb.frame_step_batched(
+            st,
+            pose.T,
+            A.reshape(batch, 9).T,
+            Q.reshape(batch, 9).T,
+            ids_s.T,
+            jnp.transpose(z_s.astype(dtype), (1, 2, 0)),
+            jnp.transpose(R_s.astype(dtype), (1, 2, 0)),
+            valid_s.T.astype(jnp.int32),
+            slots_s.T,
+            config,
+            interpret=interpret,
+        )
+        out = (
+            st["mu"][:3].T,
+            jnp.transpose(st["sigma"][:3, :3, :], (2, 0, 1)),
+            st["n_lm"][0],
+        )
+        return (st, jnp.ones_like(init)), out
+
+    (st, _), (traj, covs, nlm) = jax.lax.scan(frame_step, (st0, init0), xs)
+    final_state = ekf.EkfState(
+        mu=st["mu"].T,
+        sigma=jnp.transpose(st["sigma"], (2, 0, 1)),
+        slot_ids=st["slot_ids"].T,
+        n_landmarks=st["n_lm"][0],
+        last_obs=jnp.transpose(st["last_obs"], (2, 0, 1)),
+        seen_prev=st["seen"].T != 0,
+        initialized=jnp.ones((batch,), bool),
+        diverged=st["div"][0],
+        dropped=st["drop"][0],
+    )
+    return ReplayResult(
+        trajectory=jnp.moveaxis(traj, 0, 1),
+        pose_cov=jnp.moveaxis(covs, 0, 1),
+        n_landmarks=jnp.moveaxis(nlm, 0, 1),
+        final_state=final_state,
+    )
 
 
 def build_batch_data(

@@ -144,3 +144,50 @@ def test_threshold_ccl_megakernel_matches_xla():
         )(fg_x)
         assert jnp.array_equal(fg_k, fg_x), (shape, stride, radius)
         assert jnp.array_equal(lab_k, lab_x), (shape, stride, radius)
+
+
+def test_batched_frame_kernel_replay_matches_vmapped():
+    """The lanes-trailing batched frame kernel (interpret mode) must
+    reproduce the vmapped XLA replay over a full multi-frame sequence at
+    both observation and corner level (augmentation, gates, capacity
+    overflow, bookkeeping all exercised)."""
+    import numpy as np
+    from aruco_slam_tpu import runner
+    from aruco_slam_tpu.ops.camera import CameraIntrinsics
+    from aruco_slam_tpu.sim import synthetic
+
+    cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
+    cfg = SlamConfig(ekf=EkfConfig(max_landmarks=8, max_observations_per_frame=4))
+    seqs = [
+        synthetic.generate_sequence(
+            synthetic.SimParams(duration=3.0, seed=s, max_obs=4),
+            level="corners", camera=cam,
+        )
+        for s in range(3)
+    ]
+    for level in ("obs", "corners"):
+        data = runner.build_batch_data(seqs, 3, level)
+        camera = cam if level == "corners" else None
+        ref = runner._replay_batch_jit(data, cfg, camera, level)
+        out = runner._replay_batch_kernel(
+            data, cfg, camera, level, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.trajectory), np.asarray(ref.trajectory),
+            atol=5e-5, rtol=5e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.n_landmarks), np.asarray(ref.n_landmarks)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.final_state.sigma),
+            np.asarray(ref.final_state.sigma), atol=5e-5, rtol=5e-3,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.final_state.slot_ids),
+            np.asarray(ref.final_state.slot_ids),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.final_state.dropped),
+            np.asarray(ref.final_state.dropped),
+        )
