@@ -1,0 +1,397 @@
+"""Pallas TPU kernel: the whole PnP front-end (normalize -> Heckbert
+homography -> Zhang init -> dual-start Gauss-Newton -> observation +
+covariance + gates) for every (sequence, marker-slot) pair in ONE kernel
+launch, with the (batch x marker) product on the LANE dimension.
+
+Why: after the batched EKF frame kernel, the corner-level replay step was
+dominated by the vmapped XLA PnP (~1.2 of 1.8 ms/frame at batch 64) —
+hundreds of kernel launches of tiny 3x3/4-corner algebra per frame. Every
+quantity here is a [1, L] slab (L = batch * marker_slots), so the full
+solver is straight-line VPU code.
+
+Math is a term-by-term transcription of ops.pnp.solve_pnp_square +
+ops.frontend.observations_from_corners for the ZERO-DISTORTION camera
+(the runner falls back to the XLA path when distortion is nonzero);
+equality to the XLA pair is asserted in tests/test_pallas_kernels.py.
+Garbage (invalid-slot) corners flow through as inf/NaN and are killed by
+the gates (NaN comparisons are False), exactly like the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aruco_slam_tpu.utils.config import SlamConfig
+
+Array = jax.Array
+
+# params vector layout (input [NP, 1])
+_P_FX, _P_FY, _P_CX, _P_CY, _P_HALF, _P_THRESH = 0, 1, 2, 3, 4, 5
+_P_RX, _P_RY, _P_RTH, _P_T2CX, _P_T2CY = 6, 7, 8, 9, 10
+NP = 11
+
+
+def _wrap(a):
+    two_pi = 2.0 * jnp.pi
+    a = jnp.where(a >= jnp.pi, a - two_pi, a)
+    return jnp.where(a < -jnp.pi, a + two_pi, a)
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+def _norm3(a):
+    return jnp.sqrt(_dot3(a, a))
+
+
+def _matmul3(X, Y):
+    return [
+        [sum(X[i][k] * Y[k][j] for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+
+
+def _rodrigues(w0, w1, w2):
+    """Axis-angle -> 3x3 rotation, slab form, matching geometry.rodrigues
+    (series form under theta < 1e-8)."""
+    theta = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2)
+    small = theta < 1e-8
+    safe = jnp.where(small, 1.0, theta)
+    kx, ky, kz = w0 / safe, w1 / safe, w2 / safe
+    st = jnp.sin(theta)
+    ct1 = 1.0 - jnp.cos(theta)
+    one = jnp.ones_like(theta)
+    K = [[0.0 * theta, -kz, ky], [kz, 0.0 * theta, -kx], [-ky, kx, 0.0 * theta]]
+    KK = _matmul3(K, K)
+    R = [
+        [
+            (one if i == j else 0.0) + st * K[i][j] + ct1 * KK[i][j]
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    # tiny angle: I + skew(raw rvec)
+    Rs = [
+        [jnp.ones_like(theta), -w2, w1],
+        [w2, jnp.ones_like(theta), -w0],
+        [-w1, w0, jnp.ones_like(theta)],
+    ]
+    return [
+        [jnp.where(small, Rs[i][j], R[i][j]) for j in range(3)]
+        for i in range(3)
+    ]
+
+
+def _solve_spd6(A, b):
+    """Unrolled Cholesky solve on slabs (transcribes linalg.solve_spd)."""
+    n = 6
+    Lm = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[i][j]
+            for k in range(j):
+                s = s - Lm[i][k] * Lm[j][k]
+            if i == j:
+                Lm[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                Lm[i][j] = s / Lm[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - Lm[i][k] * y[k]
+        y[i] = s / Lm[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - Lm[k][i] * x[k]
+        x[i] = s / Lm[i][i]
+    return x
+
+
+def _gn_refine(R, t, xn, yn, obj, iters):
+    """Gauss-Newton on normalized reprojection residuals, slab form of
+    pnp._gauss_newton_refine (carried residual + cheap trust region).
+    R: 3x3 slabs, t: [3] slabs, xn/yn: [4] slabs, obj: 4 (X, Y) consts."""
+
+    def residual(Rr, tt):
+        r = []
+        pcs = []
+        for k in range(4):
+            X, Y = obj[k]
+            px = Rr[0][0] * X + Rr[0][1] * Y + tt[0]
+            py = Rr[1][0] * X + Rr[1][1] * Y + tt[1]
+            pz = Rr[2][0] * X + Rr[2][1] * Y + tt[2]
+            inv_z = 1.0 / pz
+            r.append(px * inv_z - xn[k])
+            r.append(py * inv_z - yn[k])
+            pcs.append((px, py, pz))
+        return r, pcs
+
+    r, pc = residual(R, t)
+    for _ in range(iters):
+        # Jacobian rows: J[2k + c][0..5]
+        J = []
+        for k in range(4):
+            X, Y = obj[k]
+            px, py, pz = pc[k]
+            inv_z = 1.0 / pz
+            iz2 = inv_z * inv_z
+            # M = R @ skew(X_k) with X_k = (X, Y, 0):
+            # skew = [[0, 0, Y], [0, 0, -X], [-Y, X, 0]]
+            M = [
+                [
+                    -Y * R[i][2],
+                    X * R[i][2],
+                    Y * R[i][0] - X * R[i][1],
+                ]
+                for i in range(3)
+            ]
+            # dpdc rows: [inv_z, 0, -px iz2], [0, inv_z, -py iz2]
+            for row, (du, dv, dw) in enumerate(
+                ((inv_z, None, -px * iz2), (None, inv_z, -py * iz2))
+            ):
+                Jrow = []
+                for c in range(3):  # rotation block: dpdc @ (-M)
+                    a = 0.0
+                    if du is not None:
+                        a = a + du * (-M[0][c])
+                    if dv is not None:
+                        a = a + dv * (-M[1][c])
+                    a = a + dw * (-M[2][c])
+                    Jrow.append(a)
+                # translation block: dpdc
+                if row == 0:
+                    Jrow += [inv_z, jnp.zeros_like(inv_z), -px * iz2]
+                else:
+                    Jrow += [jnp.zeros_like(inv_z), inv_z, -py * iz2]
+                J.append(Jrow)
+        JtJ = [
+            [
+                sum(J[m][a] * J[m][b] for m in range(8))
+                + (1e-9 if a == b else 0.0)
+                for b in range(6)
+            ]
+            for a in range(6)
+        ]
+        Jtr = [sum(J[m][a] * r[m] for m in range(8)) for a in range(6)]
+        d = _solve_spd6(JtJ, Jtr)
+        dR = _rodrigues(-d[0], -d[1], -d[2])
+        R_new = _matmul3(R, dR)
+        t_new = [t[0] - d[3], t[1] - d[4], t[2] - d[5]]
+        r_new, pc_new = residual(R_new, t_new)
+        better = sum(q * q for q in r_new) < sum(q * q for q in r)
+        R = [[jnp.where(better, R_new[i][j], R[i][j]) for j in range(3)]
+             for i in range(3)]
+        t = [jnp.where(better, t_new[i], t[i]) for i in range(3)]
+        r = [jnp.where(better, r_new[m], r[m]) for m in range(8)]
+        pc = [
+            tuple(jnp.where(better, pc_new[k][i], pc[k][i]) for i in range(3))
+            for k in range(4)
+        ]
+    return R, t, r, pc, sum(q * q for q in r)
+
+
+def _pnp_kernel(
+    corners_ref, params_ref, z_out, rdiag_out, keep_out,
+    *, settle: int, finish: int,
+):
+    p = lambda k: params_ref[k: k + 1]  # [1, 1] slab, broadcasts vs [1, L]
+    fx, fy = p(_P_FX), p(_P_FY)
+    cx, cy = p(_P_CX), p(_P_CY)
+    half = p(_P_HALF)
+
+    u = [corners_ref[2 * k: 2 * k + 1] for k in range(4)]
+    v = [corners_ref[2 * k + 1: 2 * k + 2] for k in range(4)]
+    xn = [(u[k] - cx) / fx for k in range(4)]
+    yn = [(v[k] - cy) / fy for k in range(4)]
+
+    # object points TL, TR, BR, BL on the z=0 plane (pnp.marker_object_points)
+    # as python-constant multipliers of the runtime `half` slabless scalar —
+    # keep them as (sx, sy) sign pairs and scale inside residuals via obj.
+    # For the slab math we need actual values: obj = [(-h, h), (h, h),
+    # (h, -h), (-h, -h)] with h a [1,1]-broadcastable scalar from params.
+    obj = [(-half, half), (half, half), (half, -half), (-half, -half)]
+
+    # --- Heckbert homography unit square -> corners_norm -----------------
+    x0, x1, x2, x3 = xn
+    y0, y1, y2, y3 = yn
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    dx1, dx2 = x1 - x2, x3 - x2
+    dy1, dy2 = y1 - y2, y3 - y2
+    inv_det = 1.0 / (dx1 * dy2 - dx2 * dy1)
+    g = (sx * dy2 - sy * dx2) * inv_det
+    h_ = (sy * dx1 - sx * dy1) * inv_det
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h_ * x3
+    c = x0
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h_ * y3
+    f = y0
+    one = jnp.ones_like(a)
+    Hu = [[a, b, c], [d, e, f], [g, h_, one]]
+
+    # H = Hu @ A_inv, A_inv = [[1/L, 0, h/L], [0, -1/L, h/L], [0, 0, 1]]
+    # (unit square -> object square; pnp._homography_init)
+    Lm = 2.0 * half
+    h1 = [Hu[i][0] * (1.0 / Lm) for i in range(3)]
+    h2 = [Hu[i][1] * (-1.0 / Lm) for i in range(3)]
+    h3 = [
+        Hu[i][0] * (half / Lm) + Hu[i][1] * (half / Lm) + Hu[i][2]
+        for i in range(3)
+    ]
+    n1 = _norm3(h1)
+    n2 = _norm3(h2)
+    lam = 2.0 / (n1 + n2)
+    r1 = [q * lam for q in h1]
+    r2 = [q * lam for q in h2]
+    t = [q * lam for q in h3]
+    flip = jnp.where(t[2] < 0, -1.0, 1.0)
+    r1 = [q * flip for q in r1]
+    r2 = [q * flip for q in r2]
+    t = [q * flip for q in t]
+    # symmetrized Gram-Schmidt (Zhang), then r3 = r1 x r2
+    r1n = [q / _norm3(r1) for q in r1]
+    d21 = _dot3(r2, r1n)
+    r2o = [r2[i] - d21 * 0.5 * r1n[i] for i in range(3)]
+    d12 = _dot3(r1n, r2o)
+    n22 = _dot3(r2o, r2o)
+    r1o = [r1n[i] - d12 * 0.5 * r2o[i] / n22 for i in range(3)]
+    r1o = [q / _norm3(r1o) for q in r1o]
+    d2o = _dot3(r2o, r1o)
+    r2o = [r2o[i] - d2o * r1o[i] for i in range(3)]
+    r2o = [q / _norm3(r2o) for q in r2o]
+    r3 = _cross3(r1o, r2o)
+    R0 = [[r1o[i], r2o[i], r3[i]] for i in range(3)]  # columns r1o r2o r3
+
+    # --- planar two-fold ambiguity: flipped start (pnp._planar_flip) ------
+    tn = _norm3(t)
+    vv = [q / tn for q in t]
+    nrm = [R0[i][2] for i in range(3)]
+    axr = _cross3(vv, nrm)
+    s_ = _norm3(axr)
+    ax = [q / jnp.maximum(s_, 1e-9) for q in axr]
+    # rotation by -2*theta about ax, where sin(theta) = s_ and cos(theta)
+    # = v.n (both unit vectors) — Mosaic has no atan2, and rodrigues only
+    # needs sin/cos of the angle: sin(-2t) = -2 s c, cos(-2t) = 1 - 2 s^2.
+    cs = _dot3(vv, nrm)
+    st = -2.0 * s_ * cs
+    omc = 2.0 * s_ * s_  # 1 - cos(-2t)
+    K = [[0.0 * s_, -ax[2], ax[1]], [ax[2], 0.0 * s_, -ax[0]],
+         [-ax[1], ax[0], 0.0 * s_]]
+    KK = _matmul3(K, K)
+    one_ = jnp.ones_like(s_)
+    Rf = [
+        [
+            (one_ if i == j else 0.0) + st * K[i][j] + omc * KK[i][j]
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    Rb0 = _matmul3(Rf, R0)
+
+    # --- dual-start settle, winner finish ---------------------------------
+    Ra, ta, ra, pca, res_a = _gn_refine(R0, t, xn, yn, obj, settle)
+    Rb, tb, rb, pcb, res_b = _gn_refine(Rb0, t, xn, yn, obj, settle)
+    pick_b = res_b < res_a
+    R1 = [[jnp.where(pick_b, Rb[i][j], Ra[i][j]) for j in range(3)]
+          for i in range(3)]
+    t1 = [jnp.where(pick_b, tb[i], ta[i]) for i in range(3)]
+    R, t, r, pc, _ = _gn_refine(R1, t1, xn, yn, obj, finish)
+
+    # --- observation + covariance + gates (ops.frontend) ------------------
+    # rms: MEAN-SQUARED pixel reprojection error (reference semantics)
+    rms = sum(
+        (fx * r[2 * k]) ** 2 + (fy * r[2 * k + 1]) ** 2 for k in range(4)
+    ) * 0.25
+    diag_px = jnp.sqrt((u[0] - u[2]) ** 2 + (v[0] - v[2]) ** 2)
+    tnorm = _norm3(t)
+    obj_err = (rms / diag_px) * (tnorm / Lm)
+    d0 = obj_err * p(_P_RX) + 1e-2
+    d1 = obj_err * p(_P_RY) + 1e-2
+    d2 = obj_err * p(_P_RTH) + 1e-3
+    zx = t[2] + p(_P_T2CX)
+    zy = -t[0] + p(_P_T2CY)
+    cov_norm = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
+    keep = (tnorm <= p(_P_THRESH)) & (cov_norm <= 1.0)
+
+    # heading needs atan2, which Mosaic doesn't lower — emit the
+    # numerator/denominator and finish in XLA (pnp_frontend_batch)
+    z_out[0:1] = zx
+    z_out[1:2] = zy
+    z_out[2:3] = -R[0][2]
+    z_out[3:4] = R[2][2]
+    rdiag_out[0:1] = d0
+    rdiag_out[1:2] = d1
+    rdiag_out[2:3] = d2
+    keep_out[:] = keep.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "interpret")
+)
+def pnp_frontend_batch(
+    corners: Array,  # [B, M, 4, 2] pixel corners
+    valid: Array,  # [B, M] bool
+    camera,  # CameraIntrinsics (zero distortion — caller checks)
+    config: SlamConfig,
+    interpret: bool = False,
+):
+    """Batched PnP front-end via the lanes-trailing kernel. Returns
+    (z [B, M, 3], R [B, M, 3, 3] diagonal, keep [B, M] bool)."""
+    batch, m, _, _ = corners.shape
+    lanes = batch * m
+    dtype = jnp.float32
+    flat = corners.astype(dtype).reshape(lanes, 8).T  # [8, L]
+    params = jnp.stack(
+        [
+            jnp.asarray(camera.fx, dtype), jnp.asarray(camera.fy, dtype),
+            jnp.asarray(camera.cx, dtype), jnp.asarray(camera.cy, dtype),
+            jnp.asarray(config.aruco.marker_length / 2.0, dtype),
+            jnp.asarray(config.useful_distance_threshold, dtype),
+            jnp.asarray(config.covariance.R_x, dtype),
+            jnp.asarray(config.covariance.R_y, dtype),
+            jnp.asarray(config.covariance.R_theta, dtype),
+            jnp.asarray(config.t_r2c_x, dtype),
+            jnp.asarray(config.t_r2c_y, dtype),
+        ]
+    ).reshape(NP, 1)
+    iters = config.aruco.pnp_refine_iters
+    settle = min(2, iters)
+    finish = max(iters - settle, 1)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    z_t, rdiag_t, keep_t = pl.pallas_call(
+        functools.partial(_pnp_kernel, settle=settle, finish=finish),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, lanes), dtype),
+            jax.ShapeDtypeStruct((3, lanes), dtype),
+            jax.ShapeDtypeStruct((1, lanes), jnp.int32),
+        ),
+        in_specs=[vmem, vmem],
+        out_specs=(vmem, vmem, vmem),
+        interpret=interpret,
+    )(flat, params)
+    from aruco_slam_tpu.ops import geometry
+
+    zth = geometry.wrap_angle(jnp.arctan2(z_t[2], z_t[3]))
+    z = jnp.stack([z_t[0], z_t[1], zth], axis=0).T.reshape(batch, m, 3)
+    rdiag = rdiag_t.T.reshape(batch, m, 3)
+    keep = (keep_t[0] != 0).reshape(batch, m) & valid
+    R = rdiag[..., :, None] * jnp.eye(3, dtype=dtype)
+    return z, R, keep

@@ -226,7 +226,17 @@ def replay_batch(
         and not config.ekf.fused_update
         and jax.default_backend() == "tpu"
     ):
-        return _replay_batch_kernel(data, config, camera, level)
+        # The PnP front-end kernel implements the zero-distortion camera
+        # model; decide here (outside jit) and fall back to the vmapped
+        # XLA front-end otherwise.
+        pnp_kernel = bool(
+            level == "corners"
+            and camera is not None
+            and not np.any(np.asarray(camera.dist))
+        )
+        return _replay_batch_kernel(
+            data, config, camera, level, pnp_kernel=pnp_kernel
+        )
     return _replay_batch_jit(data, config, camera, level)
 
 
@@ -242,13 +252,16 @@ def _replay_batch_jit(
     )(data)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "level", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "level", "interpret", "pnp_kernel")
+)
 def _replay_batch_kernel(
     data: ReplayData,
     config: SlamConfig,
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
     interpret: bool = False,
+    pnp_kernel: bool = False,
 ) -> ReplayResult:
     """Batched replay driven by the lanes-trailing Pallas frame kernel
     (ops/kernels/ekf_update_batched): ONE kernel launch per frame replaces
@@ -296,7 +309,17 @@ def _replay_batch_kernel(
 
     def frame_step(carry, x):
         st, init = carry
-        if level == "corners":
+        if level == "corners" and pnp_kernel:
+            from aruco_slam_tpu.ops.kernels import pnp_frontend as pkf
+
+            ew, edt, ids_f, corners_f, valid_f = x
+            z_f, R_f, keep_f = pkf.pnp_frontend_batch(
+                corners_f, valid_f, camera, config, interpret=interpret
+            )
+            frame = ekf.FrameObservations(
+                ids=ids_f, z=z_f, R=R_f, valid=keep_f
+            )
+        elif level == "corners":
             ew, edt, ids_f, corners_f, valid_f = x
             frame = jax.vmap(
                 lambda i_, c_, v_: observations_from_corners(

@@ -191,3 +191,60 @@ def test_batched_frame_kernel_replay_matches_vmapped():
             np.asarray(out.final_state.dropped),
             np.asarray(ref.final_state.dropped),
         )
+
+
+def test_pnp_frontend_kernel_matches_xla():
+    """The lanes-trailing PnP front-end kernel must match the vmapped XLA
+    observations_from_corners (zero-distortion camera): same gates, z to
+    ~1e-5, covariance to ~1e-6 — and the full kernel-driven replay with
+    pnp_kernel=True must match the vmapped replay."""
+    import numpy as np
+    from aruco_slam_tpu import runner
+    from aruco_slam_tpu.ops import frontend
+    from aruco_slam_tpu.ops.camera import CameraIntrinsics
+    from aruco_slam_tpu.ops.kernels import pnp_frontend as pk
+    from aruco_slam_tpu.sim import synthetic
+
+    cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
+    cfg = SlamConfig(ekf=EkfConfig(max_landmarks=16, max_observations_per_frame=8))
+    seq = synthetic.generate_sequence(
+        synthetic.SimParams(duration=4.0, seed=2, max_obs=8),
+        level="corners", camera=cam,
+    )
+    corners = jnp.asarray(seq.corners_px[:5])
+    ids = jnp.asarray(seq.obs_ids[:5])
+    valid = jnp.asarray(seq.obs_valid[:5])
+    ref = jax.vmap(
+        lambda i_, c_, v_: frontend.observations_from_corners(
+            i_, c_, v_, cam, cfg
+        )
+    )(ids, corners, valid)
+    z, R, keep = pk.pnp_frontend_batch(corners, valid, cam, cfg, interpret=True)
+    vm = np.asarray(ref.valid)
+    np.testing.assert_array_equal(np.asarray(keep), vm)
+    np.testing.assert_allclose(
+        np.asarray(z)[vm], np.asarray(ref.z)[vm], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(R)[vm], np.asarray(ref.R)[vm], atol=2e-5, rtol=2e-4
+    )
+
+    # full replay with both kernels (interpret) vs the vmapped path
+    seqs = [
+        synthetic.generate_sequence(
+            synthetic.SimParams(duration=3.0, seed=s, max_obs=8),
+            level="corners", camera=cam,
+        )
+        for s in range(2)
+    ]
+    data = runner.build_batch_data(seqs, 2, "corners")
+    ref_r = runner._replay_batch_jit(data, cfg, cam, "corners")
+    out_r = runner._replay_batch_kernel(
+        data, cfg, cam, "corners", interpret=True, pnp_kernel=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r.trajectory), np.asarray(ref_r.trajectory), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_r.n_landmarks), np.asarray(ref_r.n_landmarks)
+    )
