@@ -242,7 +242,14 @@ def config5_dist_ba(n_kf=10000, n_lm=5000):
 
 
 def main():
-    results = {"device": str(jax.devices()[0])}
+    # merge into the existing report so sections written by other
+    # harnesses (benchmarks/scaling.py's `scaling`) survive a full re-run
+    path0 = os.path.join(os.path.dirname(__file__), "results.json")
+    results = {}
+    if os.path.exists(path0):
+        with open(path0) as f:
+            results = json.load(f)
+    results["device"] = str(jax.devices()[0])
     for name, fn in [
         ("config1_ekf_reference_arena", config1_reference_arena),
         ("config2_loop_100_markers", config2_loop_100),
