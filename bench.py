@@ -1,8 +1,9 @@
 """Benchmark harness (L7). Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline: frames/s/chip of the full corner-level pipeline (batched 8-way
-vmapped PnP + EKF replay — BASELINE.md config 3 shape) on the default
+Headline: frames/s/chip of the full corner-level pipeline (batch-128
+PnP + EKF replay over 8 distinct sequences — BASELINE.md config 3 shape;
+128 lanes fill the lanes-trailing Pallas kernels exactly) on the default
 device. ``vs_baseline`` is measured against a single-thread dense float64
 NumPy EKF equivalent to the reference's Eigen formulation (the reference
 itself publishes no numbers — BASELINE.md), run on this host over the same
@@ -167,7 +168,10 @@ def main():
 
     cfg = SlamConfig(ekf=EkfConfig(max_landmarks=32, max_observations_per_frame=16))
     cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
-    data, seqs = build_data(batch=64, duration=60.0, cam=cam)
+    # Batch 128 fills the 128 VPU lanes of the lanes-trailing Pallas frame
+    # kernels exactly (sweep: 64 -> 122k, 96 -> 146k, 128 -> 175k,
+    # 192 -> 162k fps/chip; benchmarks/batch_size_sweep.py).
+    data, seqs = build_data(batch=128, duration=60.0, cam=cam)
     fps, _ = bench_tpu(data, cfg, cam, "corners", reps=3)
     try:
         img_fps = round(bench_image_level(cam), 1)

@@ -107,7 +107,10 @@ def config2_loop_100():
     }
 
 
-def config3_batched(batch=64):
+def config3_batched(batch=128):
+    # Batch 128 fills the 128 VPU lanes of the lanes-trailing kernels
+    # exactly (benchmarks/batch_size_sweep.py: 64/96/128/192 ->
+    # 122k/146k/175k/162k fps/chip).
     cfg = SlamConfig(ekf=EkfConfig(max_landmarks=32, max_observations_per_frame=16))
     seqs = [
         synthetic.generate_sequence(
