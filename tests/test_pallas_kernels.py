@@ -248,3 +248,46 @@ def test_pnp_frontend_kernel_matches_xla():
     np.testing.assert_array_equal(
         np.asarray(out_r.n_landmarks), np.asarray(ref_r.n_landmarks)
     )
+
+
+def test_batched_kernels_lane_invariant_to_batch_size():
+    """A lane's replay result must not depend on how many other lanes ride
+    in the batch: the headline bench now tiles 8 sequences to batch 128 to
+    fill the kernels' 128-lane dimension (benchmarks/batch_size_sweep.py),
+    which is only sound if lanes are fully independent through the
+    lanes-trailing kernels (slab layout, padding, per-lane sort)."""
+    import numpy as np
+    from aruco_slam_tpu import runner
+    from aruco_slam_tpu.ops.camera import CameraIntrinsics
+    from aruco_slam_tpu.sim import synthetic
+
+    cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
+    cfg = SlamConfig(ekf=EkfConfig(max_landmarks=8, max_observations_per_frame=4))
+    seqs = [
+        synthetic.generate_sequence(
+            synthetic.SimParams(duration=3.0, seed=s, max_obs=4),
+            level="corners", camera=cam,
+        )
+        for s in range(2)
+    ]
+    small = runner.build_batch_data(seqs, 2, "corners")
+    big = runner.build_batch_data(seqs, 6, "corners")  # 3x tiled lanes
+    out_s = runner._replay_batch_kernel(
+        small, cfg, cam, "corners", interpret=True, pnp_kernel=True
+    )
+    out_b = runner._replay_batch_kernel(
+        big, cfg, cam, "corners", interpret=True, pnp_kernel=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_b.trajectory)[:2], np.asarray(out_s.trajectory)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_b.trajectory)[2:4], np.asarray(out_s.trajectory)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_b.n_landmarks)[:2], np.asarray(out_s.n_landmarks)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_b.final_state.sigma)[:2],
+        np.asarray(out_s.final_state.sigma),
+    )
