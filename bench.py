@@ -1,10 +1,10 @@
 """Benchmark harness (L7). Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline: frames/s/chip of the full corner-level pipeline (batch-128
+Headline: frames/s/chip of the full corner-level pipeline (batch-256
 PnP + EKF replay over 8 distinct sequences — BASELINE.md config 3 shape;
-128 lanes fill the lanes-trailing Pallas kernels exactly) on the default
-device. ``vs_baseline`` is measured against a single-thread dense float64
+two full 128-lane tiles of the lanes-trailing Pallas kernels) on the
+default device. ``vs_baseline`` is measured against a single-thread dense float64
 NumPy EKF equivalent to the reference's Eigen formulation (the reference
 itself publishes no numbers — BASELINE.md), run on this host over the same
 observation stream.
@@ -168,10 +168,11 @@ def main():
 
     cfg = SlamConfig(ekf=EkfConfig(max_landmarks=32, max_observations_per_frame=16))
     cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
-    # Batch 128 fills the 128 VPU lanes of the lanes-trailing Pallas frame
-    # kernels exactly (sweep: 64 -> 122k, 96 -> 146k, 128 -> 175k,
-    # 192 -> 162k fps/chip; benchmarks/batch_size_sweep.py).
-    data, seqs = build_data(batch=128, duration=60.0, cam=cam)
+    # Batch must be a multiple of the 128 VPU lanes the lanes-trailing
+    # Pallas frame kernels put the batch on (sweep: 64 -> 122k,
+    # 96 -> 146k, 128 -> 175k, 192 (1.5 tiles) -> 162k, 256 -> 182k
+    # fps/chip; benchmarks/batch_size_sweep.py).
+    data, seqs = build_data(batch=256, duration=60.0, cam=cam)
     fps, _ = bench_tpu(data, cfg, cam, "corners", reps=3)
     try:
         img_fps = round(bench_image_level(cam), 1)

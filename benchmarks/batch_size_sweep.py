@@ -15,7 +15,9 @@ cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
 cfg = SlamConfig(ekf=EkfConfig(max_landmarks=32, max_observations_per_frame=16))
 seqs = [synthetic.generate_sequence(synthetic.SimParams(duration=60.0, seed=s),
                                     level="corners", camera=cam) for s in range(8)]
-for batch in (64, 96, 128, 192):
+# Measured 2026-08-18 (TPU v5 lite): 64 -> 122k, 96 -> 146k, 128 -> 175k,
+# 192 -> 162k (1.5 lane tiles — misaligned), 256 -> 182k fps/chip.
+for batch in (64, 96, 128, 192, 256):
     try:
         data = runner.build_batch_data(seqs, batch, "corners")
         f = data.obs_ids.shape[1]
