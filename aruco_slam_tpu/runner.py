@@ -10,6 +10,7 @@ leading batch axis gives multi-sequence replay (BASELINE.md config 3).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -225,19 +226,34 @@ def replay_batch(
         config.ekf.update_backend == "auto"
         and not config.ekf.fused_update
         and jax.default_backend() == "tpu"
+        and _kernel_state_vmem_bytes(config, data) <= _KERNEL_VMEM_BUDGET
     ):
-        # The PnP front-end kernel implements the zero-distortion camera
-        # model; decide here (outside jit) and fall back to the vmapped
-        # XLA front-end otherwise.
-        pnp_kernel = bool(
-            level == "corners"
-            and camera is not None
-            and not np.any(np.asarray(camera.dist))
-        )
+        # The PnP front-end kernel handles the full Brown-Conrady camera
+        # (in-kernel undistortion) — any calibrated camera takes it.
+        pnp_kernel = bool(level == "corners" and camera is not None)
         return _replay_batch_kernel(
             data, config, camera, level, pnp_kernel=pnp_kernel
         )
     return _replay_batch_jit(data, config, camera, level)
+
+
+# The batched EKF frame kernel keeps the whole filter state VMEM-resident:
+# sigma [N, N, B] rides both an input and an output ref, plus mu/slot/flag
+# slabs. A max_landmarks x batch combination whose footprint exceeds the
+# core's VMEM would fail Mosaic compilation instead of falling back, so
+# replay_batch gates the auto path on this estimate (ADVICE round 2). The
+# budget is deliberately below the hardware's (the kernel also needs
+# scratch for per-term covariance updates); override via env for probing.
+_KERNEL_VMEM_BUDGET = int(
+    os.environ.get("ARUCO_SLAM_KERNEL_VMEM_BUDGET", 64 * 2**20)
+)
+
+
+def _kernel_state_vmem_bytes(config: SlamConfig, data: ReplayData) -> int:
+    batch = int(data.obs_ids.shape[0])
+    n = 3 + 3 * config.ekf.max_landmarks
+    # sigma in + sigma out + mu/last_obs/ids/corners slabs (~16 N-rows)
+    return (2 * n * n + 16 * n) * batch * 4
 
 
 @functools.partial(jax.jit, static_argnames=("config", "level"))
