@@ -55,12 +55,13 @@ class DetectorConfig:
     adaptive_radii: tuple = ()  # empty = single adaptive_radius
     adaptive_C: float = 7.0
     # CCL rounds: one 8-neighbor min + 4 directional segmented run-scans
-    # each. Rendered marker scenes converge by 4 (benchmarks/
-    # ccl_oracle_probe.py; the parity sweep is recall-identical at 4), but
-    # the label image is advertised as a general CCL and the scipy-oracle
-    # test's dilated random blobs genuinely need 8 (component splits at 5)
-    # — keep the primitive's contract.
-    ccl_rounds: int = 8
+    # each. A label travels one component "turn" per round; marker scenes
+    # converge by 4 (benchmarks/ccl_oracle_probe.py; the parity sweep is
+    # recall-identical at 4 — round 3 re-verified), so the DETECTOR
+    # defaults to 4. General serpentine components (e.g. the scipy-oracle
+    # test's dilated random blobs) need 8 — callers of the
+    # label_components primitive pick their own trip count.
+    ccl_rounds: int = 4
     # CCL backend: None = auto (Pallas VMEM-resident kernel on TPU for
     # (8,128)-tile-aligned frames, XLA scans otherwise); True/False force.
     use_pallas_ccl: bool | None = None
@@ -262,10 +263,11 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
     TPU-friendly formulation (VERDICT round 1 items 1/2; see
     benchmarks/quads_micro_probe.py for the measurements that shaped it):
 
-    - Component stats (size score, bbox, root label) are scatter-reduced on
-      a ``stats_stride``-subsampled grid keyed by the *root's* grid cell —
-      XLA:TPU serializes scatter updates, so shrinking updates (and the
-      top_k domain) by stride^2 cuts this stage ~16x at stride 4.
+    - Component stats (size score, bbox) are scatter-reduced over a
+      ``stats_stride``-subsampled pixel set keyed by the component *root*
+      (full-res flat index) — XLA:TPU serializes scatter updates, so
+      shrinking the update count by stride^2 cuts this stage ~16x at
+      stride 4; the [H*W] table/top-k domain is dense bandwidth and free.
     - Per candidate, one fixed ``corner_window``^2 label window is gathered
       with two 1-D ``take``s (row gather then lane gather — far cheaper
       than an elementwise 2-D gather), strided when the component exceeds
@@ -282,47 +284,47 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
     labels2d = labels.reshape(h, w)
 
     # --- stats on the subsampled grid --------------------------------------
+    # Keyed by each pixel's component root (its full-res flat index): the
+    # tables are [H*W] but only the stride^2-subsampled pixels update them,
+    # so the serial-scatter cost is unchanged vs a grid-cell key while the
+    # root-cell collision mode (two roots in one stride^2 cell merging
+    # their stats and silently dropping a candidate — ADVICE round 2) is
+    # impossible by construction. The table build/select is dense
+    # bandwidth, which the TPU doesn't notice at these sizes.
     lab_ds = labels2d[::st, ::st]  # [hs, ws] values = full-res root indices
     fg_ds = fg[::st, ::st]
     hs, ws = lab_ds.shape
-    nb = hs * ws
-    # map each pixel's component root (full-res flat index) to its grid cell
-    root_y = lab_ds // w
-    root_x = lab_ds % w
-    cellf = ((root_y // st) * ws + (root_x // st)).reshape(-1)
+    cellf = lab_ds.reshape(-1)
     fgf = fg_ds.reshape(-1)
     big = jnp.int32(n)
-    counts = jnp.zeros((nb,), jnp.int32).at[cellf].add(fgf.astype(jnp.int32))
+    counts = jnp.zeros((n,), jnp.int32).at[cellf].add(fgf.astype(jnp.int32))
     gy = (jnp.arange(hs, dtype=jnp.int32) * st)[:, None]
     gx = (jnp.arange(ws, dtype=jnp.int32) * st)[None, :]
     px_y = jnp.broadcast_to(gy, (hs, ws)).reshape(-1)
     px_x = jnp.broadcast_to(gx, (hs, ws)).reshape(-1)
-    bb_minx = jnp.full((nb,), big, jnp.int32).at[cellf].min(
+    bb_minx = jnp.full((n,), big, jnp.int32).at[cellf].min(
         jnp.where(fgf, px_x, big)
     )
-    bb_maxx = jnp.full((nb,), -1, jnp.int32).at[cellf].max(
+    bb_maxx = jnp.full((n,), -1, jnp.int32).at[cellf].max(
         jnp.where(fgf, px_x, -1)
     )
-    bb_miny = jnp.full((nb,), big, jnp.int32).at[cellf].min(
+    bb_miny = jnp.full((n,), big, jnp.int32).at[cellf].min(
         jnp.where(fgf, px_y, big)
     )
-    bb_maxy = jnp.full((nb,), -1, jnp.int32).at[cellf].max(
+    bb_maxy = jnp.full((n,), -1, jnp.int32).at[cellf].max(
         jnp.where(fgf, px_y, -1)
-    )
-    root_lab = jnp.full((nb,), big, jnp.int32).at[cellf].min(
-        jnp.where(fgf, lab_ds.reshape(-1), big)
     )
 
     # selection: subsampled count is ~count/st^2 with sampling variance, so
     # gate at half the expected ratio here and re-apply the exact filter per
     # candidate from its window below.
     min_ds = max(1, cfg.min_component_pixels // (st * st) // 2)
-    max_ds = jnp.int32(cfg.max_component_fraction * nb)
+    max_ds = jnp.int32(cfg.max_component_fraction * (n // (st * st)))
     ok = (counts >= min_ds) & (counts <= max_ds)
     score = jnp.where(ok, counts, 0)
     if cfg.approx_topk:
         # TPU-optimized approximate top-k (exact fallback elsewhere);
-        # recall per element 0.99 over a ~19k-cell domain for 24 slots
+        # recall per element 0.99 over the [H*W] root table for 24 slots
         svals, cells_k = jax.lax.approx_max_k(
             score.astype(jnp.float32), cfg.max_candidates, recall_target=0.99
         )
@@ -330,7 +332,7 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
     else:
         _, cells_k = jax.lax.top_k(score, cfg.max_candidates)
         cand_valid = score[cells_k] > 0
-    roots = root_lab[cells_k]
+    roots = cells_k.astype(jnp.int32)  # the table key IS the root index
     # bbox quantization: subsampling can miss extremes by up to st-1 px
     c_x0 = jnp.maximum(bb_minx[cells_k] - (st - 1), 0)
     c_x1 = jnp.minimum(bb_maxx[cells_k] + (st - 1), w - 1)
@@ -348,17 +350,35 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
         lab_w = jnp.take(rows, wx, axis=1)  # [W, W] lane gather
         # bg pixels keep their own flat index as label and root is a fg
         # pixel, so equality alone identifies the component.
-        mask = (lab_w == root).reshape(-1)
-        px = jnp.broadcast_to(
-            wx[None, :].astype(jnp.float32), (W, W)
-        ).reshape(-1)
-        py = jnp.broadcast_to(
-            wy[:, None].astype(jnp.float32), (W, W)
-        ).reshape(-1)
+        mask2d = lab_w == root  # [W, W]
+        m2 = mask2d.astype(jnp.float32)
+        npix = jnp.maximum(jnp.sum(m2), 1.0)
+        # Boundary reduction (round 3): every maximizer of a linear
+        # objective over the component lies at a per-row x-extreme (within
+        # a row the objective is monotone in x), and every farthest-point
+        # maximizer is a convex-hull vertex, which is its row's min or max
+        # x as well. So the whole corner chain below — argmaxes of
+        # distances and cross products — runs on the 2W row-extreme points
+        # instead of the W^2 grid with identical results (up to argmax
+        # tie-breaks): ~15 masked reductions shrink 64x, the window
+        # itself is touched by 4 cheap row passes only.
+        first = jnp.argmax(mask2d, axis=1)  # [W] first fg lane per row
+        last = W - 1 - jnp.argmax(mask2d[:, ::-1], axis=1)
+        row_any = jnp.any(mask2d, axis=1)  # [W]
+        wxf = wx.astype(jnp.float32)
+        wyf = wy.astype(jnp.float32)
+        xl = jnp.take(wxf, first)
+        xr = jnp.take(wxf, last)
+        px = jnp.concatenate([xl, xr])  # [2W] boundary x
+        py = jnp.concatenate([wyf, wyf])  # [2W] boundary y
+        mask = jnp.concatenate([row_any, row_any])
         m = mask.astype(jnp.float32)
-        npix = jnp.maximum(jnp.sum(m), 1.0)
-        cx = jnp.sum(px * m) / npix
-        cy = jnp.sum(py * m) / npix
+        # centroid from row spans (seeds the first argmax only; for ragged
+        # rows this is the row-extent centroid, close enough for a seed)
+        cnt = jnp.where(row_any, (last - first + 1).astype(jnp.float32), 0.0)
+        tot = jnp.maximum(jnp.sum(cnt), 1.0)
+        cx = jnp.sum(0.5 * (xl + xr) * cnt) / tot
+        cy = jnp.sum(wyf * cnt) / tot
         # Corner chain, valid for EVERY convex quad. The round-1
         # construction (p2 = farthest from p0, then cross extremes across
         # p0p2) assumed p0p2 is a diagonal — on tall-narrow shallow-view
@@ -534,7 +554,12 @@ def decode_candidates(img: Array, corners: Array, cfg: DetectorConfig):
 
 
 def refine_corners_subpix(
-    img: Array, corners: Array, window: int = 4, iters: int = 3
+    img: Array,
+    corners: Array,
+    window: int = 4,
+    iters: int = 3,
+    window_small: int | None = None,
+    small: Array | None = None,
 ) -> Array:
     """Gradient-based subpixel corner refinement (cv::cornerSubPix
     equivalent) — blob-extreme corners are pixel-quantized (+-0.7 px).
@@ -548,7 +573,19 @@ def refine_corners_subpix(
     field as four *static* shifted slices — no per-point gathers (XLA:TPU
     executes scalar gathers serially; the old per-sample `_bilinear` cost
     ~4 ms/frame at batch, benchmarks/detector_stage_probe.py). Border
-    semantics match the old coordinate clipping exactly (edge padding)."""
+    semantics approximately match the old per-sample coordinate clipping:
+    edge padding returns the border pixel where clipping to w-1.001 blended
+    the last two pixels 0.999/0.001 — results can differ slightly within
+    window+1 px of the right/bottom borders (ADVICE round 2).
+
+    ``window_small``/``small``: per-candidate dual-window refinement in ONE
+    pass (round 3). A corner of a candidate flagged ``small`` ([K] bool)
+    uses a weight matrix that is the ``window_small`` Gaussian inside the
+    small window and exactly 0 outside — since every solve quantity is a
+    weighted sum over the grid, the zero-weighted big-window samples
+    contribute nothing and the result equals a separate small-window
+    refinement (up to f32 summation order). This halves the cost of the
+    dual-window feature vs running two full passes and selecting."""
     pad = window + 2
     x = jnp.pad(img.astype(jnp.float32), pad, mode="edge")
     h, w = img.shape
@@ -558,8 +595,20 @@ def refine_corners_subpix(
     wgt = jnp.exp(-(gx**2 + gy**2) / (window**2))
     S = 2 * window + 1
     P = 2 * window + 4  # patch covers offsets [-window-1, window+2]
+    if window_small is not None and small is not None:
+        inside = (jnp.abs(gx) <= window_small) & (jnp.abs(gy) <= window_small)
+        wgt_small = jnp.where(
+            inside, jnp.exp(-(gx**2 + gy**2) / (window_small**2)), 0.0
+        )
+        small_c = jnp.repeat(small, 4)  # [K] -> [K*4] (per corner)
+        # per-corner weights [K*4, S, S] and move clamp [K*4]
+        wgts = jnp.where(small_c[:, None, None], wgt_small, wgt)
+        clip_w = jnp.where(small_c, float(window_small), float(window))
+    else:
+        wgts = None
+        clip_w = None
 
-    def refine_one(c):
+    def refine_one(c, wgt, clamp_w):
         def body(_, q):
             qc = jnp.stack(
                 [jnp.clip(q[0], 0.0, w - 1.001), jnp.clip(q[1], 0.0, h - 1.001)]
@@ -606,13 +655,18 @@ def refine_corners_subpix(
             qy = (gxx * by - gxy * bx) * inv_det
             q_new = jnp.stack([qx, qy])
             # clamp the move to the window (reject runaway solves)
-            delta = jnp.clip(q_new - qc, -float(window), float(window))
+            delta = jnp.clip(q_new - qc, -clamp_w, clamp_w)
             return jnp.where(ok, qc + delta, q)
 
         return jax.lax.fori_loop(0, iters, body, c)
 
     flat = corners.reshape(-1, 2)
-    refined = jax.vmap(refine_one)(flat)
+    if wgts is None:
+        refined = jax.vmap(
+            lambda c: refine_one(c, wgt, float(window))
+        )(flat)
+    else:
+        refined = jax.vmap(refine_one)(flat, wgts, clip_w)
     return refined.reshape(corners.shape)
 
 
@@ -640,8 +694,13 @@ def _threshold_and_label(img: Array, radius: int, cfg: DetectorConfig):
     bit-identical to the XLA pair, which runs elsewhere."""
     h, w = img.shape
     stride = max(cfg.mean_stride, 1)
+    # The fused kernel's block mean is b * (1/(s*s)), which is bit-equal to
+    # the XLA path's division only when s*s is a power of two — gate the
+    # "bit-identical" contract on that (ADVICE round 2).
+    pow2 = (stride & (stride - 1)) == 0
     aligned = (
         h % 8 == 0 and w % 128 == 0 and h % stride == 0 and w % stride == 0
+        and pow2
     )
     use_pallas = cfg.use_pallas_ccl
     if use_pallas is None:
@@ -674,21 +733,20 @@ def detect_markers(
     quads = jnp.concatenate(quad_list)
     cand_valid = jnp.concatenate(valid_list)
     if cfg.subpix_refine:
-        refined_big = refine_corners_subpix(
-            img, quads, window=cfg.subpix_window, iters=cfg.subpix_iters
-        )
         if cfg.subpix_window_small < cfg.subpix_window:
-            refined_small = refine_corners_subpix(
-                img, quads, window=cfg.subpix_window_small,
-                iters=cfg.subpix_iters,
-            )
             extent = jnp.max(
                 jnp.max(quads, axis=1) - jnp.min(quads, axis=1), axis=-1
             )  # [K]
-            small = (extent < cfg.subpix_small_extent)[:, None, None]
-            quads = jnp.where(small, refined_small, refined_big)
+            quads = refine_corners_subpix(
+                img, quads, window=cfg.subpix_window,
+                iters=cfg.subpix_iters,
+                window_small=cfg.subpix_window_small,
+                small=extent < cfg.subpix_small_extent,
+            )
         else:
-            quads = refined_big
+            quads = refine_corners_subpix(
+                img, quads, window=cfg.subpix_window, iters=cfg.subpix_iters
+            )
     mids, corners, contrast, border_errs, dict_ok = decode_candidates(
         img, quads, cfg
     )

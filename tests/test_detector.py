@@ -174,7 +174,10 @@ def test_ccl_matches_scipy_oracle():
     labeling (labels constant within each component, distinct across) on
     rendered marker scenes and random blob masks."""
     ndimage = pytest.importorskip("scipy.ndimage")
-    cfg = detector.DetectorConfig()
+    # The CCL primitive's general contract is 8 rounds (serpentine blobs
+    # split at 5); the detector's own default is 4, enough for marker
+    # scenes — this test exercises the primitive, so pin 8.
+    cfg = detector.DetectorConfig(ccl_rounds=8)
     masks = []
     seq = synthetic.generate_sequence(
         synthetic.SimParams(duration=1.0, seed=3), level="images", camera=CAM
@@ -231,3 +234,27 @@ def test_extract_quads_tall_narrow_trapezoid():
     for q in quad:
         d = np.min(np.linalg.norm(got - q, axis=1))
         assert d < 5.0, (q, got)
+
+
+def test_extract_quads_roots_in_same_stats_cell():
+    """Round-3 regression (ADVICE round 2): two components whose ROOT
+    pixels (min flat index) land in the same stats_stride grid cell used
+    to merge stats under the grid-cell key — root_lab took the min and the
+    other component silently lost candidacy. Stats are now keyed by the
+    exact root index, so both must survive."""
+    import numpy as np
+
+    h, w = 480, 640
+    fg = np.zeros((h, w), bool)
+    # Two vertical bars, 8-disconnected (gap at col 42), with roots at
+    # (48, 40) and (50, 43) — both in stride-4 cell (12, 10).
+    fg[48:121, 40:42] = True
+    fg[50:123, 43:45] = True
+    cfg = detector.DetectorConfig()
+    labels = detector.label_components(jnp.asarray(fg), cfg.ccl_rounds)
+    corners, valid = detector.extract_quads(labels, jnp.asarray(fg), cfg)
+    corners = np.asarray(corners)[np.asarray(valid)]
+    assert len(corners) == 2, len(corners)
+    # one candidate per bar (distinguish by x-range)
+    mean_x = np.sort(corners.mean(axis=1)[:, 0])
+    assert abs(mean_x[0] - 40.5) < 2.5 and abs(mean_x[1] - 43.5) < 2.5, mean_x
