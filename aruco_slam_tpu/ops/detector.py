@@ -297,23 +297,12 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
     cellf = lab_ds.reshape(-1)
     fgf = fg_ds.reshape(-1)
     big = jnp.int32(n)
+    # The ONLY scatter in the stage (XLA:TPU serializes scatter updates at
+    # ~10 cycles each — benchmarks/_quads_ablate.py measured ~0.2 ms/frame
+    # per 19.2k-update scatter): the selection score. Bboxes are computed
+    # below per *selected* candidate as dense masked reductions instead of
+    # four more scatters (round 3, ~0.75 ms/frame saved).
     counts = jnp.zeros((n,), jnp.int32).at[cellf].add(fgf.astype(jnp.int32))
-    gy = (jnp.arange(hs, dtype=jnp.int32) * st)[:, None]
-    gx = (jnp.arange(ws, dtype=jnp.int32) * st)[None, :]
-    px_y = jnp.broadcast_to(gy, (hs, ws)).reshape(-1)
-    px_x = jnp.broadcast_to(gx, (hs, ws)).reshape(-1)
-    bb_minx = jnp.full((n,), big, jnp.int32).at[cellf].min(
-        jnp.where(fgf, px_x, big)
-    )
-    bb_maxx = jnp.full((n,), -1, jnp.int32).at[cellf].max(
-        jnp.where(fgf, px_x, -1)
-    )
-    bb_miny = jnp.full((n,), big, jnp.int32).at[cellf].min(
-        jnp.where(fgf, px_y, big)
-    )
-    bb_maxy = jnp.full((n,), -1, jnp.int32).at[cellf].max(
-        jnp.where(fgf, px_y, -1)
-    )
 
     # selection: subsampled count is ~count/st^2 with sampling variance, so
     # gate at half the expected ratio here and re-apply the exact filter per
@@ -333,11 +322,23 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
         _, cells_k = jax.lax.top_k(score, cfg.max_candidates)
         cand_valid = score[cells_k] > 0
     roots = cells_k.astype(jnp.int32)  # the table key IS the root index
+
+    # per-candidate bbox from the subsampled grid: [K, hs*ws] masked
+    # min/max — dense VPU reductions, no scatter
+    gy = (jnp.arange(hs, dtype=jnp.int32) * st)[:, None]
+    gx = (jnp.arange(ws, dtype=jnp.int32) * st)[None, :]
+    px_y = jnp.broadcast_to(gy, (hs, ws)).reshape(-1)
+    px_x = jnp.broadcast_to(gx, (hs, ws)).reshape(-1)
+    sel = (cellf[None, :] == roots[:, None]) & fgf[None, :]  # [K, hs*ws]
+    bb_minx = jnp.min(jnp.where(sel, px_x[None, :], big), axis=1)
+    bb_maxx = jnp.max(jnp.where(sel, px_x[None, :], -1), axis=1)
+    bb_miny = jnp.min(jnp.where(sel, px_y[None, :], big), axis=1)
+    bb_maxy = jnp.max(jnp.where(sel, px_y[None, :], -1), axis=1)
     # bbox quantization: subsampling can miss extremes by up to st-1 px
-    c_x0 = jnp.maximum(bb_minx[cells_k] - (st - 1), 0)
-    c_x1 = jnp.minimum(bb_maxx[cells_k] + (st - 1), w - 1)
-    c_y0 = jnp.maximum(bb_miny[cells_k] - (st - 1), 0)
-    c_y1 = jnp.minimum(bb_maxy[cells_k] + (st - 1), h - 1)
+    c_x0 = jnp.maximum(bb_minx - (st - 1), 0)
+    c_x1 = jnp.minimum(bb_maxx + (st - 1), w - 1)
+    c_y0 = jnp.maximum(bb_miny - (st - 1), 0)
+    c_y1 = jnp.minimum(bb_maxy + (st - 1), h - 1)
 
     span = jnp.arange(W, dtype=jnp.int32)
 

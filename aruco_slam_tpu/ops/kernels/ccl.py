@@ -202,6 +202,7 @@ def label_components_tpu(fg: Array, rounds: int, interpret: bool = False) -> Arr
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(fg.astype(jnp.int32))
     return out.reshape(-1)
@@ -247,6 +248,11 @@ def threshold_label_tpu(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        # The default 16 MB scoped-vmem stack overflows (17.5 MB) when a
+        # vmapped batch >= ~64 makes Mosaic pipeline more buffers; the
+        # kernel's live set is far under the chip's 128 MB VMEM, so raise
+        # the limit instead of capping the detect chunk size.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(img.astype(jnp.float32))
     return fg > 0, lab.reshape(-1)
