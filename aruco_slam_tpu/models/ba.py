@@ -73,17 +73,25 @@ class GatherTables(NamedTuple):
     gather), so no masking is needed.
 
     Keyframe/odometry reductions use padded row tables (kf_rows [K, Omax],
-    odo_*_rows [K, Q*]). The landmark reduction instead uses a SORTED
-    SEGMENTED SCAN: landmark popularity is heavily skewed (a well-placed
-    marker is seen by hundreds of keyframes while the mean is ~16), so any
-    padded per-landmark table is mostly padding — and both a full-width
-    table and a capped-table + overflow-segment_sum variant measured
-    ~1.4 ms per matvec at the 10k/5k shape. The scan form (gather
-    observations into landmark-sorted order, one segmented associative
-    +-scan, gather the [L] segment ends) is a few bandwidth-bound passes
-    regardless of skew: lm_sort_rows [Nv] (valid obs rows, lm-sorted),
-    lm_flags [Nv] (segment starts), lm_ends [L] (index of each landmark's
-    last sorted row; Nv for landmarks with no observations)."""
+    odo_*_rows [K, Q*]). The landmark reduction is harder: landmark
+    popularity is heavily skewed (a well-placed marker is seen by hundreds
+    of keyframes while the mean is ~16), so one full-width [L, deg_max]
+    table is mostly padding (measured ~1.4 ms/matvec at 10k/5k), and a
+    capped table + overflow-segment_sum pays the scatter. Two forms ship:
+
+    - DEGREE-CLASS BUCKETED TABLES (default when present): landmarks are
+      grouped by ceil-pow2 observation degree, so each class is one
+      gather + one dense sum with < 2x padding; tiny classes are merged
+      upward to bound the op count (~6 classes at 10k/5k). One final
+      gather (lm_rank [L]) restores landmark order from the class-sorted
+      concatenation. 239 us/call vs the scan's 1495 at 10k/5k [N, 3]
+      (benchmarks/_lm_bucket_probe.py) — the scan is op-count-bound
+      (~17 Hillis-Steele passes), not bandwidth-bound.
+    - SORTED SEGMENTED SCAN (fallback; used by parallel/dist_ba, whose
+      per-shard tables must stack to uniform shapes across shards):
+      gather observations into landmark-sorted order (lm_sort_rows [Nv]),
+      one segmented associative +-scan (lm_flags [Nv] segment starts),
+      gather the [L] segment ends (lm_ends; Nv for empty landmarks)."""
 
     kf_rows: Array
     odo_i_rows: Array
@@ -91,6 +99,9 @@ class GatherTables(NamedTuple):
     lm_sort_rows: Array
     lm_flags: Array
     lm_ends: Array
+    # degree-class bucketed landmark tables (empty tuple = use the scan)
+    lm_bucket_tabs: tuple = ()  # tuple of [n_class, cap] int32 row tables
+    lm_rank: Array | None = None  # [L] class-sorted position per landmark
 
 
 def _rows_table(ids, num_segments: int, pad: int, rows=None):
@@ -141,6 +152,33 @@ def build_tables(problem: BAProblem) -> GatherTables:
     cum = np.cumsum(counts)
     nonempty = counts > 0
     ends[nonempty] = (cum[nonempty] - 1).astype(np.int32)
+
+    # degree-class bucketed tables (see GatherTables docstring)
+    deg = counts
+    cls = np.zeros(L, np.int64)
+    cls[deg > 1] = np.ceil(np.log2(deg[deg > 1])).astype(np.int64)
+    # merge classes with < 2048 padded rows upward: one fewer gather+sum
+    # pair each, at most 2048 extra padded rows per merge
+    uniq = np.unique(cls)
+    for i in range(len(uniq) - 1):
+        c = uniq[i]
+        if int((cls == c).sum()) << int(c) < 2048:
+            cls[cls == c] = uniq[i + 1]
+    lm_order = np.argsort(cls, kind="stable")
+    rank = np.empty(L, np.int64)
+    rank[lm_order] = np.arange(L)
+    cls_sorted = cls[lm_order]
+    within = np.arange(nv) - (cum[sorted_ids] - counts[sorted_ids])
+    bucket_tabs = []
+    for c in np.unique(cls):
+        sel = cls_sorted == c
+        start = int(np.searchsorted(cls_sorted, c))
+        # pad entries gather the zero row appended at index N by the caller
+        tab = np.full((int(sel.sum()), 1 << int(c)), N, np.int64)
+        m = cls[sorted_ids] == c
+        tab[rank[sorted_ids[m]] - start, within[m]] = lm_sort_rows[m]
+        bucket_tabs.append(jnp.asarray(tab.astype(np.int32)))
+
     return GatherTables(
         kf_rows=jnp.asarray(_rows_table(problem.obs_kf, K, N)),
         odo_i_rows=jnp.asarray(_rows_table(problem.odo_i, K, M)),
@@ -148,6 +186,8 @@ def build_tables(problem: BAProblem) -> GatherTables:
         lm_sort_rows=jnp.asarray(lm_sort_rows),
         lm_flags=jnp.asarray(flags),
         lm_ends=jnp.asarray(ends),
+        lm_bucket_tabs=tuple(bucket_tabs),
+        lm_rank=jnp.asarray(rank.astype(np.int32)),
     )
 
 
@@ -233,10 +273,9 @@ def _seg_sum(vals: Array, ids: Array, num_segments: int, rows):
 
 
 def _seg_sum_lm(vals: Array, ids: Array, L: int, tables):
-    """Landmark-keyed reduction via sorted segmented scan (see
-    GatherTables): gather into lm-sorted order, one segmented +-scan, then
-    gather each landmark's segment end. Bandwidth-bound regardless of how
-    skewed landmark popularity is."""
+    """Landmark-keyed reduction (see GatherTables): degree-class bucketed
+    gather-sums when the tables carry them (6.2x the scan at 10k/5k,
+    benchmarks/_lm_bucket_probe.py), else the sorted segmented scan."""
     if tables is None:
         return jax.ops.segment_sum(vals, ids, num_segments=L)
     # flatten trailing dims of rank-3+ operands: a [N, 3, 3] operand would
@@ -246,6 +285,10 @@ def _seg_sum_lm(vals: Array, ids: Array, L: int, tables):
     padded = jnp.concatenate(
         [flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0
     )
+    if tables.lm_bucket_tabs:
+        parts = [padded[t].sum(axis=1) for t in tables.lm_bucket_tabs]
+        out = jnp.concatenate(parts, axis=0)[tables.lm_rank]
+        return out.reshape(L, *vals.shape[1:])
     s = padded[tables.lm_sort_rows]  # [Nv, F] lm-sorted
     f = tables.lm_flags
 

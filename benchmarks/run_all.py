@@ -40,8 +40,13 @@ def timeit(fn, inputs, reps=5):
     first execution of a program (async compile/executable load) — only a
     device_get is a true barrier there. After one completed execution,
     block_until_ready behaves normally (measured in round 2)."""
-    out = fn(inputs[0])
-    np.asarray(jax.tree.leaves(out)[0])  # full sync (see docstring)
+    # warm up EVERY distinct input: inputs may compile to distinct
+    # executables (e.g. per-problem degree-class bucket table shapes in
+    # the BA configs), and a cold compile inside the timed loop would
+    # dominate the measurement
+    for inp in inputs[: max(1, min(len(inputs), reps))]:
+        out = fn(inp)
+        np.asarray(jax.tree.leaves(out)[0])  # full sync (see docstring)
     t0 = time.perf_counter()
     for r in range(reps):
         out = fn(inputs[r % len(inputs)])

@@ -338,7 +338,8 @@ def test_packed_fast_path_matches_default_solve():
 
 
 def test_seg_sum_lm_scan_matches_segment_sum():
-    """The sorted-segmented-scan reduction == jax.ops.segment_sum on a
+    """Both landmark-reduction forms (degree-class bucketed tables and
+    the sorted-segmented-scan fallback) == jax.ops.segment_sum on a
     skewed id distribution, for [N, 3] and [N, 3, 3] operands."""
     rng = np.random.default_rng(1)
     N, L = 500, 17
@@ -355,10 +356,13 @@ def test_seg_sum_lm_scan_matches_segment_sum():
         obs_valid=np.ones(N, bool),
     )
     tables = ba.build_tables(prob)
+    assert tables.lm_bucket_tabs  # default tables carry the bucketed form
+    scan_tables = tables._replace(lm_bucket_tabs=(), lm_rank=None)
     for shape in [(N, 3), (N, 3, 3)]:
         vals = jnp.asarray(rng.normal(size=shape).astype(np.float32))
         want = jax.ops.segment_sum(vals, jnp.asarray(ids), num_segments=L)
-        got = ba._seg_sum_lm(vals, jnp.asarray(ids), L, tables)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
-        )
+        for t in (tables, scan_tables):
+            got = ba._seg_sum_lm(vals, jnp.asarray(ids), L, t)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+            )
