@@ -54,6 +54,14 @@ class DetectorConfig:
     # candidates from every radius are decoded together and deduped by id.
     adaptive_radii: tuple = ()  # empty = single adaptive_radius
     adaptive_C: float = 7.0
+    # Variable-resolution input: frames whose [H, W] is not an exact
+    # bucket are edge-padded up to the smallest enclosing bucket, so a
+    # resolution change costs at most one compile per bucket, not one per
+    # shape (the reference accepts whatever CameraInfo describes —
+    # /root/reference/src/aruco_slam_node.cpp parseCameraInfo). Buckets
+    # are (8, 128)-tile-aligned so the fused Pallas threshold+CCL kernel
+    # stays engaged. Empty tuple = compile per exact shape.
+    shape_buckets: tuple = ((480, 640), (720, 1280), (1080, 1920))
     # CCL rounds: one 8-neighbor min + 4 directional segmented run-scans
     # each. A label travels one component "turn" per round; marker scenes
     # converge by 4 (benchmarks/ccl_oracle_probe.py; the parity sweep is

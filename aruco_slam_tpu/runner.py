@@ -66,6 +66,16 @@ def replay_data_from_sequence(seq: Sequence, level: str = "obs") -> ReplayData:
     )
 
 
+def _bucket_shape(h: int, w: int, buckets: tuple) -> tuple:
+    """Smallest enclosing shape bucket (see DetectorConfig.shape_buckets),
+    or the (8, 128)-tile-aligned ceiling when the frame exceeds them all.
+    An exact bucket hit (e.g. native 480p) pads nothing."""
+    for bh, bw in buckets:
+        if h <= bh and w <= bw:
+            return bh, bw
+    return -(-h // 8) * 8, -(-w // 128) * 128
+
+
 @functools.lru_cache(maxsize=None)
 def _detect_chunk_jit(det_cfg: DetectorConfig):
     # jit wrappers must be cached by config, NOT rebuilt per call — a fresh
@@ -85,6 +95,10 @@ def detect_frames(
     bounding-box-window quad extractor (peak [chunk, K, W^2], not
     [chunk, K, H*W]) chunk 32+ fits easily and amortizes dispatch latency.
 
+    Variable-resolution input is edge-padded to shape buckets
+    (DetectorConfig.shape_buckets): a resolution change costs at most one
+    compile per bucket; detections touching the padded margin are dropped.
+
     Returns (ids [..., K], corners [..., K, 4, 2], valid [..., K]).
     """
     lead = images.shape[:-2]
@@ -94,17 +108,30 @@ def detect_frames(
     # transfer per chunk — ~1 s each through a remote-TPU tunnel, which
     # once turned this loop into 100 s/call (CLAUDE.md gotcha 3).
     flat = jnp.asarray(images).reshape(-1, h, w)
+    bh, bw = _bucket_shape(h, w, det_cfg.shape_buckets)
+    if (bh, bw) != (h, w):
+        # edge-replicate (not zero): a zero pad next to bright content
+        # reads as foreground to the adaptive threshold and wastes
+        # candidate slots on a seam component
+        flat = jnp.pad(flat, ((0, 0), (0, bh - h), (0, bw - w)), mode="edge")
     n = flat.shape[0]
     n_pad = -(-n // chunk) * chunk
     if n_pad != n:
         flat = jnp.concatenate(
-            [flat, jnp.zeros((n_pad - n, h, w), flat.dtype)], axis=0
+            [flat, jnp.zeros((n_pad - n, bh, bw), flat.dtype)], axis=0
         )
     fn = _detect_chunk_jit(det_cfg)
     outs = [fn(flat[i: i + chunk]) for i in range(0, n_pad, chunk)]
     ids = jnp.concatenate([o.ids for o in outs])[:n]
     corners = jnp.concatenate([o.corners for o in outs])[:n]
     valid = jnp.concatenate([o.valid for o in outs])[:n]
+    if (bh, bw) != (h, w):
+        # drop detections that live (even partly) in the padded margin
+        inside = jnp.all(
+            (corners[..., 0] <= w - 0.5) & (corners[..., 1] <= h - 0.5),
+            axis=-1,
+        )
+        valid = valid & inside
     K = ids.shape[-1]
     return (
         ids.reshape(*lead, K),

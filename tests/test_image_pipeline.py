@@ -29,6 +29,42 @@ def test_image_level_slam(image_seq):
     assert res["map_rmse"] < 0.08, res
 
 
+def test_mixed_resolution_shape_buckets(image_seq):
+    """Variable-resolution input (VERDICT round-2 item 8): frames of
+    different sizes that map to the same shape bucket share ONE compiled
+    executable, and detections on a cropped frame match the full frame's
+    detections that lie inside the crop (edge padding must not invent or
+    destroy interior detections)."""
+    from aruco_slam_tpu.ops.detector import DetectorConfig
+
+    frames = np.asarray(image_seq.images)
+    cfg = DetectorConfig()
+    full_ids, full_corners, full_valid = runner.detect_frames(
+        frames[:4], cfg, chunk=4
+    )
+    fn = runner._detect_chunk_jit(cfg)
+    n0 = fn._cache_size()
+    # two crop shapes, both inside the (480, 640) bucket
+    for ch, cw in [(360, 560), (400, 600)]:
+        ids, corners, valid = runner.detect_frames(
+            frames[:4, :ch, :cw], cfg, chunk=4
+        )
+        for f in range(4):
+            got = {
+                int(i) for i, v in zip(np.asarray(ids[f]), np.asarray(valid[f])) if v
+            }
+            want = set()
+            fc, fv = np.asarray(full_corners[f]), np.asarray(full_valid[f])
+            for k, fid in enumerate(np.asarray(full_ids[f])):
+                # fully inside the crop with a safety margin for the
+                # detector's threshold/subpix windows
+                if fv[k] and fc[k, :, 0].max() < cw - 8 and fc[k, :, 1].max() < ch - 8:
+                    want.add(int(fid))
+            assert want.issubset(got), (f, ch, cw, want, got)
+    # both crops padded to the same bucket -> zero new executables
+    assert fn._cache_size() == n0, (n0, fn._cache_size())
+
+
 def test_image_level_close_to_corner_level(image_seq):
     res_img = runner.evaluate_sequence(image_seq, CFG, camera=CAM, level="images")
     res_cor = runner.evaluate_sequence(image_seq, CFG, camera=CAM, level="corners")
