@@ -86,13 +86,13 @@ def prefix(cfg, upto, subpix_mode="both"):
 CFG = det.DetectorConfig()
 rows = []
 for name, cfg, upto, sm in [
-    ("thr+ccl (r8)", CFG, "ccl", "both"),
-    ("thr+ccl (r4)", replace(CFG, ccl_rounds=4), "ccl", "both"),
+    ("thr+ccl (r8)", replace(CFG, ccl_rounds=8), "ccl", "both"),
+    ("thr+ccl (r4)", CFG, "ccl", "both"),
     ("+quads", CFG, "quads", "both"),
     ("+subpix both", CFG, "subpix", "both"),
     ("+subpix one", CFG, "subpix", "one"),
     ("full", CFG, "full", "both"),
-    ("full (r4)", replace(CFG, ccl_rounds=4), "full", "both"),
+    ("full (r4)", CFG, "full", "both"),
 ]:
     t, _ = timeit(prefix(cfg, upto, sm), imgs)
     rows.append((name, 1e3 * t / B))
@@ -100,7 +100,7 @@ for name, cfg, upto, sm in [
 
 print("\ndeltas:", file=sys.stderr)
 base = dict(rows)
-print(f"  quads  = {base['+quads'] - base['thr+ccl (r8)']:.3f}")
+print(f"  quads  = {base['+quads'] - base['thr+ccl (r4)']:.3f}")
 print(f"  subpix = {base['+subpix both'] - base['+quads']:.3f} (one window: {base['+subpix one'] - base['+quads']:.3f})")
 print(f"  decode+gates = {base['full'] - base['+subpix both']:.3f}")
 print(f"  ccl r8->r4 saves {base['thr+ccl (r8)'] - base['thr+ccl (r4)']:.3f}")

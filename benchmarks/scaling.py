@@ -80,13 +80,15 @@ def work_balance(problem, n_dev):
     }
 
 
-def two_process_leg():
+def two_process_leg(n_kf=N_KF, n_lm=N_LM, cg=CG, iters=ITERS):
     """Time the 8-device solve as 1 process vs 2 processes (4 devices each,
     collectives crossing the process boundary)."""
     env = {
         **os.environ,
-        "SCALING_WORKER_KF": str(N_KF),
-        "SCALING_WORKER_LM": str(N_LM),
+        "SCALING_WORKER_KF": str(n_kf),
+        "SCALING_WORKER_LM": str(n_lm),
+        "SCALING_WORKER_CG": str(cg),
+        "SCALING_WORKER_ITERS": str(iters),
     }
     out = {}
     for n_proc in (1, 2):
@@ -105,7 +107,7 @@ def two_process_leg():
             for i in range(n_proc)
         ]
         try:
-            txt, _ = procs[0].communicate(timeout=600)
+            txt, _ = procs[0].communicate(timeout=1800)
             for p in procs[1:]:
                 p.wait(timeout=60)
         finally:
@@ -119,6 +121,173 @@ def two_process_leg():
         out["1_process_s"] / out["2_process_s"]
     )
     return out
+
+
+def efficiency_curve():
+    """Cross-process efficiency vs compute-per-collective (VERDICT round 2
+    item 4): the 0.607 single point was measured at a small,
+    overhead-dominated problem. Sweep problem size and CG depth, extract
+    the fixed per-psum boundary overhead (the solve does one [K, 3] psum
+    per CG iteration plus a handful per GN), and report at what
+    compute-per-collective the >=80% BASELINE north star holds.
+
+    Hardware-independent argument: efficiency = t1 / (t1 + n_psum * ovh)
+    where ovh is the per-collective cost of crossing the process boundary
+    (gRPC here; ICI on a pod is ~100x cheaper) and t1/n_psum is the
+    compute-per-collective. Efficiency >= 0.8 whenever
+    compute-per-collective >= 4 * ovh, regardless of transport.
+    """
+    sweep = [
+        # (n_kf, n_lm, cg_iters, gn_iters)
+        (2048, 1024, 40, 3),
+        (2048, 1024, 200, 2),
+        (10240, 5120, 40, 2),
+        (10240, 5120, 200, 1),
+        (40960, 20480, 40, 1),
+        (40960, 20480, 200, 1),
+    ]
+    points = []
+    for n_kf, n_lm, cg, iters in sweep:
+        leg = two_process_leg(n_kf=n_kf, n_lm=n_lm, cg=cg, iters=iters)
+        # collectives per solve: 1 psum per CG iteration + ~6 per GN
+        # (rhs/cost/termination reductions — see parallel/dist_ba.py; the
+        # exact count is asserted from compiled HLO in tests/test_parallel)
+        n_psum = iters * (cg + 6)
+        ovh = (leg["2_process_s"] - leg["1_process_s"]) / n_psum
+        points.append(
+            {
+                "keyframes": n_kf,
+                "landmarks": n_lm,
+                "cg_iters": cg,
+                "gn_iters": iters,
+                "n_collectives": n_psum,
+                "1_process_s": leg["1_process_s"],
+                "2_process_s": leg["2_process_s"],
+                "efficiency": round(leg["cross_process_efficiency"], 4),
+                "compute_per_collective_ms": round(
+                    1e3 * leg["1_process_s"] / n_psum, 3
+                ),
+                "overhead_per_collective_ms": round(1e3 * ovh, 3),
+            }
+        )
+        print(json.dumps(points[-1]), flush=True)
+    ovhs = [p["overhead_per_collective_ms"] for p in points]
+    ovh_med = sorted(ovhs)[len(ovhs) // 2]
+    above = [
+        p for p in points
+        if p["efficiency"] >= 0.8
+    ]
+    return {
+        "points": points,
+        "median_overhead_per_collective_ms": ovh_med,
+        "efficiency_model": "eff = c / (c + ovh), c = compute-per-collective",
+        "threshold_compute_per_collective_ms_for_80pct": round(
+            4 * ovh_med, 3
+        ),
+        "smallest_problem_at_80pct": (
+            {k: above[0][k] for k in ("keyframes", "landmarks", "cg_iters")}
+            if above else None
+        ),
+    }
+
+
+def psum_microbench():
+    """Per-collective boundary cost, measured directly (not inferred from
+    solve-time deltas, which conflate gRPC transport with host-core
+    oversubscription when two processes share one machine): a lax.scan of
+    100 chained [K, 3] psums inside ONE jitted shard_map, timed 1-process
+    vs 2-process. The delta / 100 is the per-psum cost of crossing the
+    process boundary at that payload."""
+    out = {}
+    for n_kf in (2048, 10240, 40960):
+        row = {}
+        for n_proc in (1, 2):
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, __file__],
+                    env={
+                        **os.environ,
+                        "PSUM_WORKER": str(i),
+                        "SCALING_NPROC": str(n_proc),
+                        "SCALING_WORKER_KF": str(n_kf),
+                    },
+                    stdout=subprocess.PIPE if i == 0 else subprocess.DEVNULL,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                )
+                for i in range(n_proc)
+            ]
+            try:
+                txt, _ = procs[0].communicate(timeout=900)
+                for p in procs[1:]:
+                    p.wait(timeout=60)
+            finally:
+                for p in procs:
+                    if p.poll() is None:
+                        p.kill()
+            line = [l for l in txt.splitlines() if l.startswith("PSUM_TIME")]
+            assert line, txt
+            row[f"{n_proc}_process_us_per_psum"] = float(line[0].split()[1])
+        row["boundary_overhead_us_per_psum"] = round(
+            row["2_process_us_per_psum"] - row["1_process_us_per_psum"], 1
+        )
+        row["payload_kib"] = round(n_kf * 3 * 4 / 1024, 1)
+        out[str(n_kf)] = row
+        print(json.dumps({n_kf: row}), flush=True)
+    return out
+
+
+def psum_worker(pid: int, n_proc: int) -> None:
+    dev_per_proc = 8 // n_proc
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={dev_per_proc}"
+    )
+    if n_proc > 1:
+        jax.distributed.initialize(
+            coordinator_address="localhost:12357",
+            num_processes=n_proc,
+            process_id=pid,
+        )
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    n_kf = int(os.environ["SCALING_WORKER_KF"])
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    mesh = Mesh(np.array(jax.devices()), ("x",))
+    N_PSUM = 100
+
+    @jax.jit
+    @partial(
+        shard_map, mesh=mesh, in_specs=P(), out_specs=P(),
+        check_rep=False,
+    )
+    def chain(x):
+        # replicated [K, 3] operand — the same payload shape dist_ba's
+        # Schur matvec psums once per CG iteration (dist_ba.py:323)
+        def body(c, _):
+            # data-dependent chain: each psum consumes the previous result
+            s = jax.lax.psum(c, "x")
+            return c + s * 1e-9, None
+
+        c, _ = jax.lax.scan(body, x, None, length=N_PSUM)
+        return c
+
+    x = jnp.ones((n_kf, 3), jnp.float32)
+    y = chain(x)
+    jax.block_until_ready(y)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        y = chain(x)
+        jax.block_until_ready(y)
+        best = min(best, time.perf_counter() - t0)
+    if pid == 0:
+        print(f"PSUM_TIME {1e6 * best / N_PSUM:.1f}", flush=True)
+    if n_proc > 1:
+        jax.distributed.shutdown()
 
 
 def worker(pid: int, n_proc: int) -> None:
@@ -145,8 +314,10 @@ def worker(pid: int, n_proc: int) -> None:
     )
     sharded, _ = dist_ba.partition_problem(problem, n_dev)
     mesh = Mesh(np.array(jax.devices()), (dist_ba.AXIS,))
+    w_cg = int(os.environ.get("SCALING_WORKER_CG", CG))
+    w_iters = int(os.environ.get("SCALING_WORKER_ITERS", ITERS))
     run = lambda: dist_ba.solve_dist(
-        sharded, mesh, iters=ITERS, cg_iters=CG, damping=1e-4
+        sharded, mesh, iters=w_iters, cg_iters=w_cg, damping=1e-4
     )
     poses, _, _ = run()
     jax.block_until_ready(poses)
@@ -185,6 +356,39 @@ def main():
         strong[str(n)] = round(_solve_time(problem, n), 4)
     result["strong_scaling_wall_s"] = strong
     result["two_process"] = two_process_leg()
+    result["psum_boundary_cost"] = psum_microbench()
+    result["efficiency_curve"] = efficiency_curve()
+    # Where does >=80% hold? eff = c / (c + ovh): the solve's
+    # compute-per-collective c (measured, 1-process leg) vs the measured
+    # per-psum boundary overhead at that payload. The gRPC numbers are this
+    # host's transport; the MODEL is the hardware-independent part — on a
+    # TPU pod the same [K, 3] psum rides ICI (~µs latency, ~100 GB/s), so
+    # c_80 = 4 * ovh_ICI is orders of magnitude smaller than any real BA
+    # problem's compute-per-collective.
+    thresh = {}
+    for k, row in result["psum_boundary_cost"].items():
+        ovh_ms = row["boundary_overhead_us_per_psum"] / 1e3
+        pts = [
+            p for p in result["efficiency_curve"]["points"]
+            if str(p["keyframes"]) == k
+        ]
+        thresh[k] = {
+            "boundary_overhead_ms": round(ovh_ms, 3),
+            "compute_per_collective_ms_for_80pct": round(4 * ovh_ms, 3),
+            "measured_compute_per_collective_ms": [
+                p["compute_per_collective_ms"] for p in pts
+            ],
+            "predicted_efficiency": [
+                round(
+                    p["compute_per_collective_ms"]
+                    / (p["compute_per_collective_ms"] + ovh_ms),
+                    3,
+                )
+                for p in pts
+            ],
+            "measured_efficiency": [p["efficiency"] for p in pts],
+        }
+    result["efficiency_threshold"] = thresh
     path = os.path.join(os.path.dirname(__file__), "results.json")
     results = {}
     if os.path.exists(path):
@@ -197,7 +401,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "SCALING_WORKER" in os.environ:
+    if "PSUM_WORKER" in os.environ:
+        psum_worker(int(os.environ["PSUM_WORKER"]), int(os.environ["SCALING_NPROC"]))
+    elif "SCALING_WORKER" in os.environ:
         worker(int(os.environ["SCALING_WORKER"]), int(os.environ["SCALING_NPROC"]))
     else:
         main()
