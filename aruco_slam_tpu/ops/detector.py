@@ -305,31 +305,46 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
     cellf = lab_ds.reshape(-1)
     fgf = fg_ds.reshape(-1)
     big = jnp.int32(n)
-    # The ONLY scatter in the stage (XLA:TPU serializes scatter updates at
-    # ~10 cycles each — benchmarks/_quads_ablate.py measured ~0.2 ms/frame
-    # per 19.2k-update scatter): the selection score. Bboxes are computed
-    # below per *selected* candidate as dense masked reductions instead of
-    # four more scatters (round 3, ~0.75 ms/frame saved).
-    counts = jnp.zeros((n,), jnp.int32).at[cellf].add(fgf.astype(jnp.int32))
+    # Scatter-free per-root counts (round 3): XLA:TPU lowers scatter to a
+    # serial per-update loop (~0.2 ms/frame for the 19.2k-update count
+    # table), so the counts are built from a SORT of the subsampled root
+    # keys instead — a bitonic sort plus two log-scans, all dense VPU
+    # work. Each segment of equal keys in the sorted array is one
+    # component; its length (position of segment end minus position of
+    # segment start + 1) is the count. The top-k then runs over the
+    # [hs*ws] segment-end array (16x smaller than the old [H*W] table).
+    m = cellf.shape[0]
+    key = jnp.where(fgf, cellf, big)  # bg -> sentinel, sorts last
+    sk = jnp.sort(key)
+    pos = jnp.arange(m, dtype=jnp.int32)
+    neq = sk[1:] != sk[:-1]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
+    start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, 0)
+    )  # cummax: position of each element's segment start
+    counts_end = pos - start_pos + 1  # valid where is_end
 
     # selection: subsampled count is ~count/st^2 with sampling variance, so
     # gate at half the expected ratio here and re-apply the exact filter per
     # candidate from its window below.
     min_ds = max(1, cfg.min_component_pixels // (st * st) // 2)
     max_ds = jnp.int32(cfg.max_component_fraction * (n // (st * st)))
-    ok = (counts >= min_ds) & (counts <= max_ds)
-    score = jnp.where(ok, counts, 0)
+    ok = is_end & (sk < big) & (counts_end >= min_ds) & (counts_end <= max_ds)
+    score = jnp.where(ok, counts_end, 0)
     if cfg.approx_topk:
         # TPU-optimized approximate top-k (exact fallback elsewhere);
-        # recall per element 0.99 over the [H*W] root table for 24 slots
-        svals, cells_k = jax.lax.approx_max_k(
+        # recall per element 0.99 over the segment-end array for 24 slots
+        svals, idx_k = jax.lax.approx_max_k(
             score.astype(jnp.float32), cfg.max_candidates, recall_target=0.99
         )
         cand_valid = svals > 0
     else:
-        _, cells_k = jax.lax.top_k(score, cfg.max_candidates)
-        cand_valid = score[cells_k] > 0
-    roots = cells_k.astype(jnp.int32)  # the table key IS the root index
+        svals, idx_k = jax.lax.top_k(score, cfg.max_candidates)
+        cand_valid = svals > 0
+    roots = sk[idx_k].astype(jnp.int32)  # the segment key IS the root index
+    # a sentinel-segment slot (all-bg frame) must not alias a real root
+    roots = jnp.where(cand_valid, roots, big)
 
     # per-candidate bbox from the subsampled grid: [K, hs*ws] masked
     # min/max — dense VPU reductions, no scatter

@@ -25,7 +25,7 @@ from aruco_slam_tpu.models import ekf
 from aruco_slam_tpu.utils.config import EkfConfig, SlamConfig
 
 M_OBS = 8
-REPS = 30
+REPS = 8
 
 
 def make_state(cfg, key):
@@ -55,16 +55,37 @@ def make_frame(cfg, key):
     return ekf.FrameObservations(ids=ids, z=z, R=R, valid=valid)
 
 
-def timeit(fn, *args):
-    out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])  # true first-exec barrier (axon)
-    ts = []
+def chained(update_fn, k):
+    """jit(state, frame -> state after k sequential frame updates): the
+    state carry chains the iterations, so XLA cannot CSE them and the
+    per-update cost is (t(k2) - t(k1)) / (k2 - k1) — immune to the
+    remote-TPU tunnel's per-dispatch latency (up to ~32 ms when the
+    tunnel degrades, which would swamp any per-call timing here)."""
+
+    @jax.jit
+    def run(state, frame):
+        def body(s, _):
+            return update_fn(s, frame), None
+
+        s, _ = jax.lax.scan(body, state, None, length=k)
+        return s.mu[:3]
+
+    return run
+
+
+def timeit(update_fn, state, frame, k1=8, k2=56):
+    f1, f2 = chained(update_fn, k1), chained(update_fn, k2)
+    np.asarray(f1(state, frame))
+    np.asarray(f2(state, frame))  # true first-exec barriers (axon)
+    t1 = t2 = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out)[0])
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+        jax.block_until_ready(f1(state, frame))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f2(state, frame))
+        t2 = min(t2, time.perf_counter() - t0)
+    return (t2 - t1) / (k2 - k1)
 
 
 def main():
@@ -79,13 +100,13 @@ def main():
         frame = make_frame(cfg, jax.random.PRNGKey(1))
 
         legs = {
-            "scan": jax.jit(lambda s, f: ekf.update(s, f, cfg)),
-            "fused": jax.jit(lambda s, f: ekf.update_fused(s, f, cfg)),
+            "scan": lambda s, f: ekf.update(s, f, cfg),
+            "fused": lambda s, f: ekf.update_fused(s, f, cfg),
         }
         if on_tpu:
             from aruco_slam_tpu.ops.kernels import ekf_update as kern
 
-            legs["pallas"] = jax.jit(lambda s, f: kern.frame_update(s, f, cfg))
+            legs["pallas"] = lambda s, f: kern.frame_update(s, f, cfg)
         row = {"max_landmarks": n_lm}
         for name, fn in legs.items():
             try:

@@ -7,6 +7,7 @@ Timing discipline: steady-state after jit warmup, block_until_ready, and
 inputs *perturbed per repetition* so no layer can cache/dedupe executions.
 """
 
+import functools
 import json
 import os
 import sys
@@ -176,30 +177,60 @@ def config_image_level(batch=32, duration=10.0):
     dt, _ = timeit(
         lambda d: runner.replay_batch(d, cfg, CAM, "images"), [data], reps=3
     )
+    # batch sweep (VERDICT round 2 item 7): shorter sequences to bound
+    # device memory at the larger batches (uint8 frames, [B, F, H, W])
+    sweep = {}
+    with jax.default_device(cpu):
+        sweep_seqs = [
+            synthetic.generate_sequence(
+                synthetic.SimParams(duration=4.0, seed=s),
+                level="images", camera=CAM,
+            )
+            for s in range(2)
+        ]
+    fs = sweep_seqs[0].num_frames
+    for b in (16, 32, 64):
+        d_b = runner.build_batch_data(sweep_seqs, b, "images")
+        d_b = jax.tree.map(
+            lambda x: jnp.asarray(x) if x is not None else None, d_b
+        )
+        dt_b, _ = timeit(
+            lambda d: runner.replay_batch(d, cfg, CAM, "images"), [d_b], reps=3
+        )
+        sweep[str(b)] = round(b * fs / dt_b, 1)
     # sanity: the pipeline must actually track
     res = runner.evaluate_sequence(seqs[0], cfg, camera=CAM, level="images")
     return {
         "batch": batch,
         "frames_per_sec_per_chip": batch * f / dt,
+        "batch_sweep_frames_per_sec": sweep,
         "single_seq_ate_m": res["ate"],
     }
 
 
 def config4_ba(n_kf=1000, n_lm=500, iters=10, cg=50):
+    # (packed, tables, static) kept PER problem: a seed with a different
+    # max obs-per-keyframe width would make a shared static's dense
+    # reshape wrong-shaped (ADVICE round 2). functools.lru-style jit
+    # caching dedupes compilation when statics do coincide.
     problems = []
-    static = None
     for s in range(3):
         p, _, _ = graph_builder.synthetic_ba_problem(
             n_kf, n_lm, obs_per_kf=8, seed=s
         )
-        packed, tables, static = ba.prepare(p)
-        problems.append((packed, tables))
-    solve = jax.jit(
-        lambda pt: ba.solve(
-            pt[0], iters=iters, cg_iters=cg, damping=1e-4, tables=pt[1],
-            **static,
+        problems.append(ba.prepare(p))
+
+    @functools.lru_cache(maxsize=None)
+    def solve_for(static_items):
+        static = dict(static_items)
+        return jax.jit(
+            lambda pt: ba.solve(
+                pt[0], iters=iters, cg_iters=cg, damping=1e-4, tables=pt[1],
+                **static,
+            )
         )
-    )
+
+    solve = lambda pts: solve_for(tuple(sorted(pts[2].items())))(pts[:2])
     dt, last = timeit(solve, problems, reps=6)
     stats = last[2]
     return {
