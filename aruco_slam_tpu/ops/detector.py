@@ -640,12 +640,18 @@ def refine_corners_subpix(
             base = jnp.floor(qc)
             fx = qc[0] - base[0]
             fy = qc[1] - base[1]
+            # Two-step patch extraction: full-width row slab first, then
+            # the column window. A vmapped 2-D dynamic_slice lowers to a
+            # scalar-serialized gather (~6 ns/element); a full-width row
+            # slice rides XLA:TPU's wide-row take fast path instead
+            # (measured on the corner-window stage, PERFORMANCE.md item
+            # 17/18). Same elements, bit-identical results.
+            rows = jax.lax.dynamic_slice(
+                x, (base[1].astype(jnp.int32) + pad - window - 1, 0),
+                (P, x.shape[1]),
+            )
             patch = jax.lax.dynamic_slice(
-                x,
-                (
-                    base[1].astype(jnp.int32) + pad - window - 1,
-                    base[0].astype(jnp.int32) + pad - window - 1,
-                ),
+                rows, (0, base[0].astype(jnp.int32) + pad - window - 1),
                 (P, P),
             )
 
