@@ -151,15 +151,28 @@ def _detections_to_corner_data(
     )
 
 
+# Largest max_landmarks the single-stream Pallas frame kernel compiles
+# for on TPU: the Mosaic compiler crashes (tpu_compile_helper exit 1) at
+# 256+ where sigma is 2 x 4.5 MB in/out refs plus working slabs
+# (benchmarks/_ekf_kernel_capacity.py: 99/128/192 OK, 256/320/512 fail).
+_PALLAS_EKF_MAX_LANDMARKS = int(
+    os.environ.get("ARUCO_SLAM_PALLAS_EKF_MAX_LANDMARKS", 192)
+)
+
+
 def frame_update_for(config: SlamConfig, batched: bool):
     """Select the frame-update backend (see EkfConfig.update_backend):
-    the Pallas VMEM-resident kernel wins 3x at batch 1 on TPU, the XLA
-    scan wins under vmap (benchmarks/ekf_kernel_probe.py)."""
+    the Pallas VMEM-resident kernel wins 8-30x at batch 1 on TPU (up to
+    its compile-capacity ceiling), the XLA scan wins under vmap
+    (benchmarks/ekf_kernel_probe.py, benchmarks/fused_crossover.py)."""
     if config.ekf.fused_update:
         return ekf.update_fused
     be = config.ekf.update_backend
     use_pallas = be == "pallas" or (
-        be == "auto" and not batched and jax.default_backend() == "tpu"
+        be == "auto"
+        and not batched
+        and jax.default_backend() == "tpu"
+        and config.ekf.max_landmarks <= _PALLAS_EKF_MAX_LANDMARKS
     )
     if use_pallas:
         from aruco_slam_tpu.ops.kernels import ekf_update as kern

@@ -116,16 +116,53 @@ def main():
         ts.append(time.perf_counter() - t0)
 
     host = percentiles(ts)
+
+    # Device-side per-frame latency via the chained method (the roundtrip
+    # subtraction above has ~ms noise and the device cost is sub-ms): K
+    # sequential frame-steps state-chained inside ONE jitted program;
+    # per-frame device latency = (t(k2) - t(k1)) / (k2 - k1).
+    def chained(k):
+        @jax.jit
+        def run(state, img, w, d):
+            def body(s, _):
+                # value-dependence: fold a carry scalar into the image so
+                # XLA cannot hoist the loop-invariant detect() out of the
+                # scan (it would, and the delta would then time only the
+                # EKF part)
+                s2, _pose = step_fn(s, img + 1e-30 * s.mu[0], w, d)
+                return s2, None
+
+            s, _ = jax.lax.scan(body, state, None, length=k)
+            return s.mu[:3]
+
+        return run
+
+    step_fn = step
+    k1, k2 = 2, 12
+    f1, f2 = chained(k1), chained(k2)
+    np.asarray(f1(state, *frames[0]))
+    np.asarray(f2(state, *frames[0]))
+    t1 = t2 = float("inf")
+    for i in range(6):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f1(state, *frames[i % n]))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f2(state, *frames[i % n]))
+        t2 = min(t2, time.perf_counter() - t0)
+    device_ms = 1e3 * (t2 - t1) / (k2 - k1)
+
     out = {
         "frames": n,
         "pipeline": "predict + detect(640x480) + PnP front-end + EKF update, batch 1, one jitted program",
         "host_observed": host,
         "dispatch_roundtrip_ms": round(null_ms, 3),
-        "device_estimate_p50_ms": round(host["p50_ms"] - null_ms, 3),
+        "device_per_frame_ms_chained": round(device_ms, 3),
         "achievable_hz_host": round(1e3 / host["p50_ms"], 1),
-        "achievable_hz_device_est": round(
-            1e3 / max(host["p50_ms"] - null_ms, 1e-3), 1
-        ),
+        "achievable_hz_device": round(1e3 / max(device_ms, 1e-3), 1),
+        "note": "host numbers include the remote-TPU tunnel roundtrip a "
+                "robot with a local accelerator would not pay; the chained "
+                "leg is the device-only per-frame latency",
         "backend": jax.default_backend(),
     }
     print(json.dumps(out, indent=1))

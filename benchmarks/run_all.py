@@ -88,6 +88,11 @@ def config2_loop_100():
         marker_map=arena,
     )
     res = runner.evaluate_sequence(seq, cfg)
+    # warm wall: the first call pays jit compilation (minutes cold through
+    # the tunnel, and any code change invalidates the persistent cache) —
+    # time the second call, which is what a deployed smoother pays per map
+    out = pipeline.ekf_then_ba(seq, cfg)
+    jax.block_until_ready(out["poses"])
     t0 = time.time()
     out = pipeline.ekf_then_ba(seq, cfg)
     jax.block_until_ready(out["poses"])

@@ -197,6 +197,11 @@ def test_frame_update_for_auto_rule(monkeypatch):
     assert runner.frame_update_for(cfg(), False) is kern.frame_update
     assert runner.frame_update_for(cfg(), True) is ekf.update
 
+    # auto above the kernel's compile-capacity ceiling -> XLA scan
+    # (benchmarks/_ekf_kernel_capacity.py: Mosaic crashes at 256+)
+    big = SlamConfig(ekf=EkfConfig(max_landmarks=256))
+    assert runner.frame_update_for(big, False) is ekf.update
+
     # explicit backend overrides the heuristic (even under vmap / on CPU)
     assert runner.frame_update_for(cfg(update_backend="pallas"), True) is kern.frame_update
     monkeypatch.setattr(runner.jax, "default_backend", lambda: "cpu")
