@@ -12,10 +12,25 @@ collectives ride the interconnect, let XLA insert them):
   120 KB), as are the odometry-chain factors.
 
 Per CG iteration the only cross-device traffic is one ``psum`` of the
-[K, 3] reduced product (plus the [K, 3, 3] diagonal once per GN step) —
-exactly the "reduced camera system over psum/all-gather" reduction the
-BASELINE.json north star prescribes. Everything runs inside one
-``shard_map`` so XLA can overlap the local elimination with the collective.
+[K, 3] reduced product — exactly the "reduced camera system over
+psum/all-gather" reduction the BASELINE.json north star prescribes. The
+per-GN-step linearization products (Hpp diagonal, rhs, reduced-rhs
+correction) ride ONE fused variadic psum, so a GN step with ``cg`` CG
+iterations costs exactly ``cg + 2`` collectives (+1 for the adaptive /
+history cost). Everything runs inside one ``shard_map`` so XLA can
+overlap the local elimination with the collective.
+
+Why one psum per CG iteration is the exact-communication floor here (and
+why s-step CG does not apply): the reduced operator is S = D - G G^T with
+D replicated (Hpp + odometry chain) and G column-sharded by landmark
+owner, so S v = D v - sum_d G_d(G_d^T v) — applying S to a replicated
+vector requires one all-reduce, and S^2 v needs the completed S v first.
+Classical s-step/pipelined CG saves *dot-product* reductions (our dots
+are on replicated [K, 3] vectors — already free) and batches *halo*
+exchanges (our matvec's communication is a global sum, not a halo), so
+neither reduces the matvec all-reduce count. Making the matvec local
+would require replicating G (an [N, 3, 3]-sized all-gather per GN step)
+and would un-shard the CG compute — strictly worse at scale.
 """
 
 from __future__ import annotations
@@ -241,6 +256,33 @@ def solve_dist(
             and np.array_equal(np.asarray(sharded.odo_j), np.arange(1, M + 1))
             and np.asarray(sharded.odo_valid).all()
         )
+    fn = _solve_dist_jit(
+        mesh, iters, cg_iters, float(damping), adaptive, deflate_gauge,
+        odo_chain,
+    )
+    poses, landmarks, history = fn(sharded)
+    return poses, landmarks.reshape(-1, 3), history
+
+
+@functools.lru_cache(maxsize=None)
+def _solve_dist_jit(
+    mesh: Mesh,
+    iters: int,
+    cg_iters: int,
+    damping: float,
+    adaptive: bool,
+    deflate_gauge: bool,
+    odo_chain: bool,
+):
+    """Build + cache the jitted shard_map program for one solver config.
+
+    The closure must NOT be rebuilt per call: a fresh ``jax.jit(shard_map(
+    local fn))`` is a new cache key, so every invocation would retrace AND
+    recompile — at the 10k/5k shape that was ~3 s per call against ~0.2 s
+    per GN step of actual execution, and it silently dominated every
+    round-3 "warm" distributed timing (the measured per-GN marginal cost
+    was identical across 1- and 2-process runs; the whole cross-process
+    delta sat in this fixed recompile)."""
 
     def shard_fn(s: ShardedBAProblem):
         local = _local_problem(s)
@@ -276,27 +318,32 @@ def solve_dist(
             Hpp_obs, Hll, Apl, bp_obs, bl = ba.obs_linear_blocks(
                 prob, poses, landmarks, K, Ls, tables
             )
-            Hpp_obs = jax.lax.psum(Hpp_obs, AXIS)
-            bp_obs = jax.lax.psum(bp_obs, AXIS)
+            Hll_inv = small_linalg.inv3x3(Hll + lam * eye)
+            # reduced-rhs correction term (local: Hll_inv, bl, Apl are all
+            # shard-resident)
+            u = (Hll_inv @ bl[..., None])[..., 0]
+            back = (Apl @ u[prob.obs_lm][..., None])[..., 0]
+            back_seg = ba._seg_sum(back, prob.obs_kf, K, tables.kf_rows)
+            # ONE fused all-reduce for the whole GN-step linearization:
+            # Hpp_obs [K,3,3] + bp_obs [K,3] + the rhs correction [K,3] are
+            # mutually independent local sums, so they ride a single
+            # variadic psum (VERDICT r3 item 1a; the compiled HLO carries
+            # one all-reduce here — asserted in tests/test_parallel.py).
+            Hpp_obs, bp_obs, back_seg = jax.lax.psum(
+                (Hpp_obs, bp_obs, back_seg), AXIS
+            )
             Hpp_odo, Hij, bp_odo = ba.odo_linear_blocks(
                 prob, poses, landmarks, K, tables, odo_chain
             )
             Hpp_diag = Hpp_obs + Hpp_odo + lam * eye
             Hpp_diag = Hpp_diag.at[0].add(local.prior_w)
-            Hll_inv = small_linalg.inv3x3(Hll + lam * eye)
 
             r0 = prior_pose - poses[0]
             r0 = r0.at[2].set(geometry.wrap_angle(r0[2]))
             bp = bp_obs + bp_odo + jnp.zeros_like(bp_obs).at[0].set(
                 local.prior_w @ r0
             )
-
-            # reduced rhs
-            u = (Hll_inv @ bl[..., None])[..., 0]
-            back = (Apl @ u[prob.obs_lm][..., None])[..., 0]
-            bs = bp - jax.lax.psum(
-                ba._seg_sum(back, prob.obs_kf, K, tables.kf_rows), AXIS
-            )
+            bs = bp - back_seg
 
             Minv = small_linalg.inv3x3(Hpp_diag)
 
@@ -401,7 +448,7 @@ def solve_dist(
         history = jnp.concatenate([c0[None], costs])
         return poses, landmarks, history
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
@@ -418,5 +465,3 @@ def solve_dist(
             out_specs=(P(), P(AXIS), P()),
         )
     )
-    poses, landmarks, history = fn(sharded)
-    return poses, landmarks.reshape(-1, 3), history
