@@ -26,6 +26,39 @@ def _add_common(p):
                    help="override ekf.max_observations_per_frame")
 
 
+_CAMERA_HELP = (
+    "camera intrinsics fx,fy,cx,cy[,k1,k2,p1,p2,k3] (OpenCV distortion "
+    "order). Replay/ba default to the calibration STORED IN THE SEQUENCE "
+    "(the reference reads K/D from the CameraInfo stream, "
+    "src/aruco_slam_node.cpp:121-130); pass this only to override it."
+)
+
+
+def _parse_camera(spec: str):
+    from aruco_slam_tpu.ops.camera import CameraIntrinsics
+
+    vals = [float(v) for v in spec.split(",")]
+    if len(vals) < 4 or len(vals) > 9:
+        raise SystemExit(
+            f"--camera wants fx,fy,cx,cy[,k1,k2,p1,p2,k3]; got {len(vals)} values"
+        )
+    dist = vals[4:] + [0.0] * (9 - len(vals))
+    return CameraIntrinsics.create(*vals[:4], dist=dist)
+
+
+def _camera_for(seq, args):
+    """Camera priority: explicit --camera > the sequence's own calibration
+    > the simulator default (for old sequences saved without one)."""
+    from aruco_slam_tpu.ops.camera import CameraIntrinsics
+
+    if getattr(args, "camera", None):
+        return _parse_camera(args.camera)
+    cam = seq.camera()
+    if cam is not None:
+        return cam
+    return CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
+
+
 def _load_config(args):
     import dataclasses
 
@@ -53,13 +86,17 @@ def cmd_simulate(args):
     marker_map = map_io.load_map(args.map) if args.map else synthetic.make_arena(
         n_markers=args.markers
     )
-    cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
+    cam = (
+        _parse_camera(args.camera)
+        if args.camera
+        else CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
+    )
     p = synthetic.SimParams(duration=args.duration, seed=args.seed)
     seq = synthetic.generate_sequence(
         p, marker_map=marker_map, level=args.level,
         camera=cam if args.level != "obs" else None,
     )
-    seq.save(args.out)
+    seq.save(args.out, image_format=args.image_format)
     print(json.dumps({"frames": seq.num_frames, "out": args.out, "level": args.level}))
 
 
@@ -68,14 +105,14 @@ def cmd_replay(args):
     from aruco_slam_tpu.io import checkpoint
     from aruco_slam_tpu.io.sequence import Sequence
     from aruco_slam_tpu.models import ekf
-    from aruco_slam_tpu.ops.camera import CameraIntrinsics
     from aruco_slam_tpu.utils import logging as slog
 
     cfg = _load_config(args)
     seq = Sequence.load(args.sequence)
-    cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
-    data = runner.replay_data_from_sequence(seq, args.level)
-    result = runner.replay(data, cfg, cam, args.level)
+    cam = _camera_for(seq, args)
+    # replay_sequence streams .asq-stored frames through the native
+    # prefetcher at image level; otherwise identical to replay()
+    result = runner.replay_sequence(seq, cfg, cam, args.level)
     res = runner.evaluate_sequence(
         seq, cfg, camera=cam, level=args.level, result=result
     )
@@ -152,11 +189,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--level", choices=["obs", "corners", "images"], default="obs")
     p.add_argument("--map", help="ground-truth map.txt to use as the world")
+    p.add_argument("--camera", help=_CAMERA_HELP)
+    p.add_argument("--image-format", choices=["npz", "asq"], default="npz",
+                   help="asq = frames in a native mmap/CRC container, "
+                        "streamed through the prefetcher at replay")
     p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("replay", help="run EKF-SLAM over a sequence")
     p.add_argument("--sequence", required=True)
     p.add_argument("--level", choices=["obs", "corners", "images"], default="obs")
+    p.add_argument("--camera", help=_CAMERA_HELP)
     p.add_argument("--log", help="write per-frame JSONL records here")
     p.add_argument("--export-map", help="write learned map (map.txt schema)")
     p.add_argument("--plot", help="write a trajectory/map plot (PNG)")

@@ -15,6 +15,7 @@ frames, which keeps the replay loop a static two-level ``lax.scan``.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -53,6 +54,28 @@ class Sequence:
 
     meta: dict = field(default_factory=dict)
 
+    def set_camera(self, camera) -> None:
+        """Record the generating camera's intrinsics in ``meta`` — the
+        camera is STREAM DATA, not a constant: the reference reads K and D
+        from the CameraInfo topic per run (src/aruco_slam_node.cpp:121-130),
+        so a sequence must carry its own calibration or replaying it with
+        any other camera silently corrupts every observation."""
+        self.meta["camera_K"] = [
+            float(x) for x in np.asarray(camera.matrix).reshape(-1)
+        ]
+        self.meta["camera_D"] = [float(x) for x in np.asarray(camera.dist)]
+
+    def camera(self):
+        """The sequence's own camera (:class:`CameraIntrinsics`), or None
+        if the sequence predates / never had calibration metadata."""
+        if "camera_K" not in self.meta:
+            return None
+        from aruco_slam_tpu.ops.camera import CameraIntrinsics
+
+        return CameraIntrinsics.from_camera_info(
+            self.meta["camera_K"], self.meta.get("camera_D")
+        )
+
     @property
     def num_frames(self) -> int:
         return self.obs_ids.shape[0]
@@ -61,15 +84,33 @@ class Sequence:
     def max_obs(self) -> int:
         return self.obs_ids.shape[1]
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, image_format: str = "npz") -> None:
+        """``image_format``: "npz" embeds frames in the archive; "asq"
+        writes them to a sibling ``.asq`` container via the native mmap
+        writer (CRC-checked, prefetchable — io.native_seqio), recorded in
+        ``meta`` so :meth:`load` finds it. The asq path is the streaming
+        transport of the image-level replay (the reference's cv_bridge /
+        image_transport role, src/aruco_slam_node.cpp:93-101)."""
         import json
 
         data = {}
+        skip_images = image_format == "asq" and self.images is not None
+        if skip_images:
+            from aruco_slam_tpu.io import native_seqio
+
+            base, _ = os.path.splitext(path)
+            asq = base + ".asq"
+            native_seqio.write_frames(
+                asq, np.asarray(self.images, np.uint8)
+            )
+            self.meta["images_asq"] = os.path.basename(asq)
         for name in (
             "enc_w", "enc_dt", "obs_ids", "obs_z", "obs_R", "obs_valid",
             "corners_px", "images", "true_pose_frames", "true_pose_enc",
             "true_landmarks", "true_landmark_ids",
         ):
+            if name == "images" and skip_images:
+                continue
             v = getattr(self, name)
             if v is not None:
                 data[name] = v
@@ -96,6 +137,14 @@ class Sequence:
             meta.update(json.loads(str(kw.pop("meta_json"))))
         for k in [k for k in kw if k.startswith("meta_arr_")]:
             meta[k[len("meta_arr_"):]] = kw.pop(k)
+        if "images_asq" in meta:
+            # absolute path resolved at load time; the image-level replay
+            # streams frames from this container through the native
+            # prefetcher (runner.detect_frames_asq) instead of holding the
+            # whole stack in the archive
+            meta["images_asq_path"] = os.path.join(
+                os.path.dirname(os.path.abspath(path)), meta["images_asq"]
+            )
         kw["meta"] = meta
         return cls(**kw)
 

@@ -50,6 +50,8 @@ def ekf_then_ba(
       ground-truth init.
     - ``adaptive=True`` (LM accept/reject) guards the larger stride-1
       system against occasional cost-increasing steps at low damping."""
+    if camera is None:
+        camera = seq.camera()  # the calibration the sequence carries
     data = runner.replay_data_from_sequence(seq, level)
     ekf_result = runner.replay(data, config, camera, level)
     traj = np.asarray(ekf_result.trajectory)

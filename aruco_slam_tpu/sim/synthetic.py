@@ -362,6 +362,10 @@ def generate_sequence(
     elif level == "images":
         seq = add_corner_stream(seq, marker_map, params, camera)
         seq = add_image_stream(seq, marker_map, params, camera)
+    if camera is not None:
+        # intrinsics travel WITH the sequence (the reference reads them from
+        # the CameraInfo stream, src/aruco_slam_node.cpp:121-130)
+        seq.set_camera(camera)
     return seq
 
 

@@ -90,8 +90,10 @@ def bench_reference_numpy(seq, n_frames=150, marker_length=0.27):
                 [-marker_length / 2, -marker_length / 2, 0],
             ]
         )
-        K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1.0]])
-        dist = np.zeros(5)
+        # the sequence carries its own calibration (io.sequence.set_camera)
+        seq_cam = seq.camera()
+        K = np.asarray(seq_cam.matrix, np.float64)
+        dist = np.asarray(seq_cam.dist, np.float64)
     except ImportError:
         cv2 = None
         print(
@@ -152,6 +154,7 @@ def bench_image_level(cam, batch=32, duration=6.0):
     f = seqs[0].num_frames
     data = runner.build_batch_data(seqs, batch, "images")
     data = jax.tree.map(jnp.asarray, data)
+    cam = seqs[0].camera()  # the calibration the sequence carries
     out = runner.replay_batch(data, cfg, cam, "images")
     np.asarray(out.trajectory)  # true first-exec barrier
     # reps >= 3 with dispersion: the tunnel's per-dispatch latency varies
@@ -184,6 +187,9 @@ def main():
     # 96 -> 146k, 128 -> 175k, 192 (1.5 tiles) -> 162k, 256 -> 182k
     # fps/chip; benchmarks/batch_size_sweep.py).
     data, seqs = build_data(batch=256, duration=60.0, cam=cam)
+    # replay with the camera the SEQUENCE carries, not the local variable —
+    # the wiring the reference gets from its CameraInfo stream
+    cam = seqs[0].camera()
     fps, _ = bench_tpu(data, cfg, cam, "corners", reps=3)
     try:
         img_fps = round(bench_image_level(cam), 1)

@@ -160,6 +160,45 @@ def test_sequence_meta_roundtrip(tmp_path):
     )
 
 
+def test_camera_travels_with_sequence(tmp_path, capsys):
+    """Intrinsics are STREAM DATA (reference reads K/D from CameraInfo,
+    src/aruco_slam_node.cpp:121-130): a sequence generated with a
+    distorted, non-default camera must replay correctly via the CLI with
+    NO hand-passed intrinsics — and visibly worse with the wrong ones."""
+    seq_path = str(tmp_path / "seq.npz")
+    cam_spec = "520,540,300,230,-0.25,0.08"  # nonzero k1/k2
+    cli.main(
+        ["simulate", "--out", seq_path, "--duration", "6", "--seed", "3",
+         "--level", "corners", "--camera", cam_spec]
+    )
+    capsys.readouterr()
+
+    # stored calibration round-trips through save/load
+    from aruco_slam_tpu.io.sequence import Sequence
+
+    s2 = Sequence.load(seq_path)
+    cam = s2.camera()
+    assert cam is not None
+    np.testing.assert_allclose(float(cam.fx), 520.0)
+    np.testing.assert_allclose(
+        np.asarray(cam.dist), [-0.25, 0.08, 0.0, 0.0, 0.0]
+    )
+
+    # replay with no --camera: must pick up the stored calibration
+    cli.main(["replay", "--sequence", seq_path, "--level", "corners",
+              "--max-landmarks", "16", "--max-obs", "8"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ate"] < 0.1, res
+
+    # the wrong camera (the old hardcoded default) must be visibly worse —
+    # this is the correctness trap the stored calibration closes
+    cli.main(["replay", "--sequence", seq_path, "--level", "corners",
+              "--camera", "600,600,320,240",
+              "--max-landmarks", "16", "--max-obs", "8"])
+    res_wrong = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res_wrong["ate"] > 2.0 * res["ate"], (res, res_wrong)
+
+
 def test_cli_config_not_clobbered(tmp_path):
     """--config ekf settings must survive unless CLI flags override them."""
     import argparse
