@@ -197,13 +197,31 @@ def test_frame_update_for_auto_rule(monkeypatch):
     assert runner.frame_update_for(cfg(), False) is kern.frame_update
     assert runner.frame_update_for(cfg(), True) is ekf.update
 
-    # auto above the kernel's compile-capacity ceiling -> XLA scan
-    # (benchmarks/_ekf_kernel_capacity.py: Mosaic crashes at 256+)
+    # auto above the kernel's compile-capacity ceiling -> fused block-LDL
+    # single-stream (the measured 2.2x winner at 512 landmarks,
+    # docs/PERFORMANCE.md item 7; Mosaic crashes at 256+,
+    # benchmarks/_ekf_kernel_capacity.py), XLA scan under vmap
     big = SlamConfig(ekf=EkfConfig(max_landmarks=256))
-    assert runner.frame_update_for(big, False) is ekf.update
+    assert runner.frame_update_for(big, False) is ekf.update_fused
+    assert runner.frame_update_for(big, True) is ekf.update
+    # boundary: exactly at the ceiling the kernel still compiles -> pallas
+    edge = SlamConfig(
+        ekf=EkfConfig(max_landmarks=runner._PALLAS_EKF_MAX_LANDMARKS)
+    )
+    assert runner.frame_update_for(edge, False) is kern.frame_update
 
     # explicit backend overrides the heuristic (even under vmap / on CPU)
     assert runner.frame_update_for(cfg(update_backend="pallas"), True) is kern.frame_update
     monkeypatch.setattr(runner.jax, "default_backend", lambda: "cpu")
     assert runner.frame_update_for(cfg(update_backend="pallas"), False) is kern.frame_update
     assert runner.frame_update_for(cfg(update_backend="xla"), False) is ekf.update
+
+    # explicit pallas past the compile ceiling: a clear error, not an
+    # opaque Mosaic tpu_compile_helper crash (ADVICE round 3 item 1)
+    import pytest
+
+    with pytest.raises(ValueError, match="ceiling"):
+        runner.frame_update_for(
+            SlamConfig(ekf=EkfConfig(max_landmarks=256, update_backend="pallas")),
+            False,
+        )
