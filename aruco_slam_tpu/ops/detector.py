@@ -120,6 +120,15 @@ class DetectorConfig:
     # with subpix_window_small instead.
     subpix_window_small: int = 2
     subpix_small_extent: float = 40.0
+    # Union-of-morphologies candidate source: run the CCL a second time on
+    # the 3x3-CLOSED foreground and decode both candidate sets together
+    # (deduped by id downstream). Closing bridges the 1-px gaps that
+    # fragment a degraded marker border into several under-size components
+    # (heavy blur+noise; 13-px markers at 63 deg — benchmarks/_ext_debug2).
+    # Round 3 measured closing as a REPLACEMENT and rejected it (speckle
+    # attaches to hulls under noise); as an ADDITIONAL source the union
+    # can only add candidates, so that regression cannot occur.
+    closing_union: bool = True
 
 
 class Detections(NamedTuple):
@@ -745,21 +754,88 @@ def _threshold_and_label(img: Array, radius: int, cfg: DetectorConfig):
     return fg, _label_components_dispatch(fg, cfg)
 
 
+def binary_close3(fg: Array) -> Array:
+    """3x3 binary closing (dilate, then erode) of a boolean mask.
+
+    Border convention: out-of-image reads as background for the dilation
+    and as foreground for the erosion, so content touching the frame edge
+    is neither grown past it nor eaten by it. Pure shifts + logical ops —
+    fuses into the surrounding elementwise graph on TPU."""
+    h, w = fg.shape
+    ri = jnp.arange(h)[:, None]
+    ci = jnp.arange(w)[None, :]
+
+    def shift(x, dy, dx, fill):
+        y = jnp.roll(x, (dy, dx), (0, 1))
+        if dy > 0:
+            y = jnp.where(ri < dy, fill, y)
+        if dy < 0:
+            y = jnp.where(ri >= h + dy, fill, y)
+        if dx > 0:
+            y = jnp.where(ci < dx, fill, y)
+        if dx < 0:
+            y = jnp.where(ci >= w + dx, fill, y)
+        return y
+
+    dil = fg
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy or dx:
+                dil = dil | shift(fg, dy, dx, False)
+    ero = dil
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy or dx:
+                ero = ero & shift(dil, dy, dx, True)
+    return ero
+
+
 def _candidates_at_radius(img: Array, radius: int, cfg: DetectorConfig):
+    """Candidate quads at one threshold radius: the raw-foreground CCL,
+    plus (``closing_union``) a second CCL over the 3x3-closed foreground —
+    exactly the union shape the multi-radius sweep already uses, so the
+    per-id dedup downstream absorbs the duplicates."""
     fg, labels = _threshold_and_label(img, radius, cfg)
-    return extract_quads(labels, fg, cfg)
+    q, v = extract_quads(labels, fg, cfg)
+    if not cfg.closing_union:
+        return [q], [v]
+    fg_c = binary_close3(fg)
+    labels_c = _label_components_dispatch(fg_c, cfg)
+    q2, v2 = extract_quads(labels_c, fg_c, cfg)
+    return [q, q2], [v, v2]
+
+
+def to_grayscale(img: Array, channel_order: str = "bgr") -> Array:
+    """Color ``[..., H, W, 3]`` -> luma ``[..., H, W]``, OpenCV's BGR2GRAY
+    coefficients (Y = 0.299 R + 0.587 G + 0.114 B) — the conversion the
+    reference gets implicitly: it subscribes bgr8 frames (cv_bridge at
+    src/aruco_slam_node.cpp:93) and cv::aruco grayscales internally.
+    uint8 input rounds to nearest like ``cv::cvtColor``."""
+    w = jnp.asarray([0.114, 0.587, 0.299], jnp.float32)  # B, G, R
+    if channel_order == "rgb":
+        w = w[::-1]
+    elif channel_order != "bgr":
+        raise ValueError(f"channel_order must be 'bgr' or 'rgb', got {channel_order!r}")
+    y = jnp.tensordot(img.astype(jnp.float32), w, axes=([-1], [0]))
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        return jnp.round(y).astype(img.dtype)
+    return y.astype(img.dtype)
 
 
 def detect_markers(
     img: Array, cfg: DetectorConfig = DetectorConfig()
 ) -> Detections:
-    """Full detection for one grayscale frame [H, W] (uint8 or float)."""
+    """Full detection for one frame: grayscale [H, W] (uint8 or float), or
+    color [H, W, 3] (converted via :func:`to_grayscale`, BGR order — the
+    reference's stream is bgr8, src/aruco_slam_node.cpp:93)."""
+    if img.ndim == 3 and img.shape[-1] == 3:
+        img = to_grayscale(img)
     radii = cfg.adaptive_radii or (cfg.adaptive_radius,)
     quad_list, valid_list = [], []
     for r in radii:
-        q, v = _candidates_at_radius(img, r, cfg)
-        quad_list.append(q)
-        valid_list.append(v)
+        qs, vs = _candidates_at_radius(img, r, cfg)
+        quad_list.extend(qs)
+        valid_list.extend(vs)
     quads = jnp.concatenate(quad_list)
     cand_valid = jnp.concatenate(valid_list)
     if cfg.subpix_refine:
@@ -796,12 +872,23 @@ def detect_markers(
         & (contrast >= cfg.min_contrast)
     )
     # Dedup by id (multi-scale sweeps find the same marker at several radii;
-    # merged components can too): keep the earliest valid slot per id.
+    # merged components and the closed-fg source can too): keep the
+    # earliest valid slot per id.
     same_id = (mids[:, None] == mids[None, :]) & valid[:, None] & valid[None, :]
     earlier = jnp.tril(jnp.ones_like(same_id), k=-1)
     dup = jnp.any(same_id & earlier, axis=1)
     valid = valid & jnp.logical_not(dup)
     ids = jnp.where(valid, mids, -1)
+    if cfg.closing_union:
+        # Compact the doubled candidate axis back to the raw-source slot
+        # count: after dedup the union holds at most one valid entry per
+        # marker id, so moving valid entries first and trimming keeps the
+        # downstream contract (and PnP/EKF slot budget) unchanged.
+        k_out = ids.shape[0] // 2
+        order = jnp.argsort(jnp.logical_not(valid), stable=True)[:k_out]
+        ids = ids[order]
+        corners = corners[order]
+        valid = valid[order]
     return Detections(ids=ids, corners=corners, valid=valid)
 
 

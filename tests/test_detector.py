@@ -146,6 +146,49 @@ def test_empty_image_no_detections():
     assert not bool(np.any(np.asarray(det.valid)))
 
 
+def test_to_grayscale_matches_opencv_coefficients():
+    """BGR luma (Y = 0.299R + 0.587G + 0.114B) with cv2-style rounding."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 24, 3), np.uint8)
+    y = np.asarray(detector.to_grayscale(jnp.asarray(img)))
+    ref = np.round(
+        0.114 * img[..., 0].astype(np.float64)
+        + 0.587 * img[..., 1]
+        + 0.299 * img[..., 2]
+    )
+    np.testing.assert_allclose(y.astype(np.float64), ref, atol=1.0)
+    # rgb order flips the weights
+    y_rgb = np.asarray(detector.to_grayscale(jnp.asarray(img), "rgb"))
+    ref_rgb = np.round(0.299 * img[..., 0].astype(np.float64)
+                       + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    np.testing.assert_allclose(y_rgb.astype(np.float64), ref_rgb, atol=1.0)
+
+
+def test_detect_color_frame_matches_grayscale():
+    """A bgr8 frame must detect identically to its grayscale twin — the
+    reference ingests color (cv_bridge 'bgr8', src/aruco_slam_node.cpp:93)
+    and OpenCV grayscales internally."""
+    img, *_ = _render_scene()
+    color = np.stack([img] * 3, axis=-1)  # gray replicated -> exact luma
+    det_g = detector.detect_markers(jnp.asarray(img))
+    det_c = detector.detect_markers(jnp.asarray(color))
+    np.testing.assert_array_equal(np.asarray(det_g.ids), np.asarray(det_c.ids))
+    np.testing.assert_array_equal(
+        np.asarray(det_g.valid), np.asarray(det_c.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(det_g.corners), np.asarray(det_c.corners), atol=1e-5
+    )
+    assert bool(np.any(np.asarray(det_g.valid)))
+    # detect_frames accepts the color stack too
+    from aruco_slam_tpu import runner
+
+    ids_f, corners_f, valid_f = runner.detect_frames(
+        jnp.asarray(color)[None], chunk=1
+    )
+    np.testing.assert_array_equal(np.asarray(ids_f[0]), np.asarray(det_g.ids))
+
+
 def test_batch_detection_shapes():
     img, *_ = _render_scene()
     batch = jnp.stack([jnp.asarray(img)] * 2)
