@@ -107,9 +107,42 @@ def _draw_line(img, p0, p1, value):
     return img
 
 
+# 3x5 dot-matrix digit glyphs for the id labels (row-major, top to bottom)
+_DIGIT_3X5 = {
+    "0": "111101101101111", "1": "010110010010111", "2": "111001111100111",
+    "3": "111001111001111", "4": "101101111001001", "5": "111100111001111",
+    "6": "111100111101111", "7": "111001001001001", "8": "111101111101111",
+    "9": "111101111001111",
+}
+
+
+def _stamp_text(img, text: str, origin, value, scale: int = 2) -> None:
+    """Stamp digits as 3x5 dot-matrix glyphs at ``origin`` (x, y)."""
+    h, w = img.shape[:2]
+    x0, y0 = int(round(origin[0])), int(round(origin[1]))
+    for ch in text:
+        glyph = _DIGIT_3X5.get(ch)
+        if glyph is None:
+            x0 += 4 * scale
+            continue
+        for r in range(5):
+            for c in range(3):
+                if glyph[r * 3 + c] == "1":
+                    ys = y0 + r * scale
+                    xs = x0 + c * scale
+                    img[
+                        max(0, ys): max(0, min(h, ys + scale)),
+                        max(0, xs): max(0, min(w, xs + scale)),
+                    ] = value
+        x0 += 4 * scale
+
+
 def draw_detections(img, detections, value: int = 255) -> np.ndarray:
     """Annotated frame (the ``getMarkedImg`` equivalent): marker outlines
-    with a double-struck edge at the top-left corner marking orientation."""
+    with a double-struck edge at the top-left corner marking orientation,
+    and the marker id stamped next to each outline —
+    ``cv::aruco::drawDetectedMarkers`` writes the id there too
+    (reference src/aruco_slam.cpp:319)."""
     out = np.array(img, copy=True)
     ids = np.asarray(detections.ids)
     valid = np.asarray(detections.valid)
@@ -124,6 +157,10 @@ def draw_detections(img, detections, value: int = 255) -> np.ndarray:
         c0 = quad[0]
         _draw_line(out, c0 + (-3, -3), c0 + (3, 3), value)
         _draw_line(out, c0 + (-3, 3), c0 + (3, -3), value)
+        # id label just right of the quad, vertically centered
+        x = quad[:, 0].max() + 3
+        y = quad[:, 1].mean() - 5
+        _stamp_text(out, str(int(ids[k])), (x, y), value)
     return out
 
 

@@ -66,6 +66,30 @@ def test_draw_detections_marks_pixels():
     out = viz.draw_detections(img, det)
     assert (out == 255).sum() > 50
     assert np.array_equal(img, np.full((100, 100), 50, np.uint8))  # copy
+    # id label pixels: drawDetectedMarkers writes the id next to the
+    # outline (reference src/aruco_slam.cpp:319) — the "7" glyph sits
+    # right of the quad's max-x (40), clear of the outline/cross strokes
+    label_region = out[:, 43:]
+    assert (label_region == 255).sum() >= 7, (label_region == 255).sum()
+
+
+def test_draw_detections_id_label_digits():
+    """Multi-digit ids stamp one glyph per digit."""
+    from aruco_slam_tpu.ops.detector import Detections
+    import jax.numpy as jnp
+
+    img = np.zeros((120, 160), np.uint8)
+    det = Detections(
+        ids=jnp.asarray([321]),
+        corners=jnp.asarray(
+            [[[20, 30], [60, 30], [60, 70], [20, 70]]], jnp.float32
+        ),
+        valid=jnp.asarray([True]),
+    )
+    out = viz.draw_detections(img, det)
+    label = out[:, 62:]
+    # three 3x5 glyphs at scale 2: "3"+"2"+"1" = (10+11+8) lit cells x 4 px
+    assert (label == 255).sum() >= 100, (label == 255).sum()
 
 
 def test_plot_run(tmp_path, run):
