@@ -86,7 +86,15 @@ class GatherTables(NamedTuple):
       gather (lm_rank [L]) restores landmark order from the class-sorted
       concatenation. 239 us/call vs the scan's 1495 at 10k/5k [N, 3]
       (benchmarks/_lm_bucket_probe.py) — the scan is op-count-bound
-      (~17 Hillis-Steele passes), not bandwidth-bound.
+      (~17 Hillis-Steele passes), not bandwidth-bound. Gather cost is
+      per-ROW (~2 ns/row regardless of row width, benchmarks/
+      _gn_structure_probe.py), so classes wider than ``chunk`` (64) are
+      stored TWO-LEVEL: a [n_chunks, chunk] row table (each high-degree
+      landmark split into chunk-width runs, padding bounded by
+      chunk-1 per landmark instead of cap-1) plus a small [n_c, max_runs]
+      combine table over the chunk partials. At 10k/5k this cuts the
+      padded gather rows 126k -> ~92k. A two-level entry appears in
+      ``lm_bucket_tabs`` as a (chunk_tab, combine_tab) pair.
     - SORTED SEGMENTED SCAN (fallback; used by parallel/dist_ba, whose
       per-shard tables must stack to uniform shapes across shards):
       gather observations into landmark-sorted order (lm_sort_rows [Nv]),
@@ -169,15 +177,42 @@ def build_tables(problem: BAProblem) -> GatherTables:
     rank[lm_order] = np.arange(L)
     cls_sorted = cls[lm_order]
     within = np.arange(nv) - (cum[sorted_ids] - counts[sorted_ids])
+    chunk = 64  # two-level split width for wide classes (see docstring)
     bucket_tabs = []
     for c in np.unique(cls):
         sel = cls_sorted == c
+        n_c = int(sel.sum())
         start = int(np.searchsorted(cls_sorted, c))
-        # pad entries gather the zero row appended at index N by the caller
-        tab = np.full((int(sel.sum()), 1 << int(c)), N, np.int64)
+        cap = 1 << int(c)
         m = cls[sorted_ids] == c
-        tab[rank[sorted_ids[m]] - start, within[m]] = lm_sort_rows[m]
-        bucket_tabs.append(jnp.asarray(tab.astype(np.int32)))
+        lm_in_c = rank[sorted_ids[m]] - start  # class-local landmark index
+        if cap <= chunk:
+            # pad entries gather the zero row appended at index N
+            tab = np.full((n_c, cap), N, np.int64)
+            tab[lm_in_c, within[m]] = lm_sort_rows[m]
+            bucket_tabs.append(jnp.asarray(tab.astype(np.int32)))
+            continue
+        # two-level: per-landmark chunk runs + combine table
+        deg_c = np.bincount(lm_in_c, minlength=n_c)
+        runs = np.maximum(1, -(-deg_c // chunk))  # ceil(deg / chunk)
+        run_off = np.zeros(n_c + 1, np.int64)
+        np.cumsum(runs, out=run_off[1:])
+        total_runs = int(run_off[-1])
+        chunk_tab = np.full((total_runs, chunk), N, np.int64)
+        w = within[m]
+        chunk_tab[run_off[lm_in_c] + w // chunk, w % chunk] = lm_sort_rows[m]
+        max_runs = int(runs.max())
+        # pad entries gather the zero partial row appended at total_runs
+        comb_tab = np.full((n_c, max_runs), total_runs, np.int64)
+        for i in range(max_runs):
+            has = runs > i
+            comb_tab[has, i] = run_off[:-1][has] + i
+        bucket_tabs.append(
+            (
+                jnp.asarray(chunk_tab.astype(np.int32)),
+                jnp.asarray(comb_tab.astype(np.int32)),
+            )
+        )
 
     return GatherTables(
         kf_rows=jnp.asarray(_rows_table(problem.obs_kf, K, N)),
@@ -286,7 +321,18 @@ def _seg_sum_lm(vals: Array, ids: Array, L: int, tables):
         [flat, jnp.zeros((1, flat.shape[1]), flat.dtype)], axis=0
     )
     if tables.lm_bucket_tabs:
-        parts = [padded[t].sum(axis=1) for t in tables.lm_bucket_tabs]
+        parts = []
+        for t in tables.lm_bucket_tabs:
+            if isinstance(t, tuple):  # two-level wide class
+                chunk_tab, comb_tab = t
+                partial = padded[chunk_tab].sum(axis=1)  # [n_runs, F]
+                pp = jnp.concatenate(
+                    [partial, jnp.zeros((1, flat.shape[1]), flat.dtype)],
+                    axis=0,
+                )
+                parts.append(pp[comb_tab].sum(axis=1))
+            else:
+                parts.append(padded[t].sum(axis=1))
         out = jnp.concatenate(parts, axis=0)[tables.lm_rank]
         return out.reshape(L, *vals.shape[1:])
     s = padded[tables.lm_sort_rows]  # [Nv, F] lm-sorted
@@ -385,20 +431,12 @@ def _kf_sum(vals: Array, ids, K: int, rows, kf_width):
     return _seg_sum(vals, ids, K, rows)
 
 
-def obs_linear_blocks(
-    problem: BAProblem, poses, landmarks, K: int, L: int, tables=None,
-    kf_width=None,
-):
-    """Marker-factor linear blocks (the shardable part of the problem).
-
-    Sign convention: residual r = z - h, Jacobians J of h, so the normal
-    equations are (J^T W J) d = + J^T W r.
-
-    Returns (Hpp_diag_obs [K,3,3], Hll [L,3,3], Apl [N,3,3], bp_obs [K,3],
-    bl [L,3]) — everything keyed by *local* landmark indices, so a shard of
-    observations + its owned landmark block compute these independently;
-    only Hpp_diag_obs and bp_obs need a psum across shards."""
-    (r_obs, Jp, Jl, w_obs), _ = _residuals(problem, poses, landmarks)
+def _obs_blocks(obs_parts, problem: BAProblem, K: int, L: int, tables,
+                kf_width):
+    """obs_linear_blocks body, from already-evaluated residual parts (so
+    _linearize can evaluate :func:`_residuals` exactly once per GN step
+    instead of relying on XLA CSE across repeated calls)."""
+    r_obs, Jp, Jl, w_obs = obs_parts
     JpW = jnp.swapaxes(Jp, -1, -2) @ w_obs  # [N, 3, 3] = Jp^T W
     JlW = jnp.swapaxes(Jl, -1, -2) @ w_obs
     App = JpW @ Jp
@@ -414,6 +452,23 @@ def obs_linear_blocks(
     return Hpp_diag, Hll, Apl, bp, bl
 
 
+def obs_linear_blocks(
+    problem: BAProblem, poses, landmarks, K: int, L: int, tables=None,
+    kf_width=None,
+):
+    """Marker-factor linear blocks (the shardable part of the problem).
+
+    Sign convention: residual r = z - h, Jacobians J of h, so the normal
+    equations are (J^T W J) d = + J^T W r.
+
+    Returns (Hpp_diag_obs [K,3,3], Hll [L,3,3], Apl [N,3,3], bp_obs [K,3],
+    bl [L,3]) — everything keyed by *local* landmark indices, so a shard of
+    observations + its owned landmark block compute these independently;
+    only Hpp_diag_obs and bp_obs need a psum across shards."""
+    obs_parts, _ = _residuals(problem, poses, landmarks)
+    return _obs_blocks(obs_parts, problem, K, L, tables, kf_width)
+
+
 def _chain_pad_i(x: Array) -> Array:
     """Place per-factor values at their i endpoint (0..K-2) of a K-row
     output: pad one zero row at the end."""
@@ -425,13 +480,11 @@ def _chain_pad_j(x: Array) -> Array:
     return jnp.concatenate([jnp.zeros((1, *x.shape[1:]), x.dtype), x], axis=0)
 
 
-def odo_linear_blocks(
-    problem: BAProblem, poses, landmarks, K: int, tables=None, odo_chain=False
-):
-    """Odometry/relative-pose linear blocks (replicated, cheap)."""
+def _odo_blocks(odo_parts, problem: BAProblem, K: int, tables, odo_chain):
+    """odo_linear_blocks body from already-evaluated residual parts."""
     oi = tables.odo_i_rows if tables is not None else None
     oj = tables.odo_j_rows if tables is not None else None
-    _, (r_odo, Ji, Jj, w_odo) = _residuals(problem, poses, landmarks)
+    r_odo, Ji, Jj, w_odo = odo_parts
     JiW = jnp.swapaxes(Ji, -1, -2) @ w_odo
     JjW = jnp.swapaxes(Jj, -1, -2) @ w_odo
     Hij = JiW @ Jj  # [M, 3, 3] off-diagonal block (i, j)
@@ -448,18 +501,27 @@ def odo_linear_blocks(
     return Hpp_diag, Hij, bp
 
 
+def odo_linear_blocks(
+    problem: BAProblem, poses, landmarks, K: int, tables=None, odo_chain=False
+):
+    """Odometry/relative-pose linear blocks (replicated, cheap)."""
+    _, odo_parts = _residuals(problem, poses, landmarks)
+    return _odo_blocks(odo_parts, problem, K, tables, odo_chain)
+
+
 def _linearize(
     problem: BAProblem, poses, landmarks, damping, tables=None,
-    kf_width=None, odo_chain=False,
+    kf_width=None, odo_chain=False, prior_pose=None,
 ):
     """Build the blocks needed by the Schur-CG solve (single device)."""
     K = poses.shape[0]
     L = landmarks.shape[0]
-    Hpp_obs, Hll, Apl, bp_obs, bl = obs_linear_blocks(
-        problem, poses, landmarks, K, L, tables, kf_width
+    obs_parts, odo_parts = _residuals(problem, poses, landmarks)
+    Hpp_obs, Hll, Apl, bp_obs, bl = _obs_blocks(
+        obs_parts, problem, K, L, tables, kf_width
     )
-    Hpp_odo, Hij, bp_odo = odo_linear_blocks(
-        problem, poses, landmarks, K, tables, odo_chain
+    Hpp_odo, Hij, bp_odo = _odo_blocks(
+        odo_parts, problem, K, tables, odo_chain
     )
     Hpp_diag = Hpp_obs + Hpp_odo
     bp = bp_obs + bp_odo
@@ -473,9 +535,26 @@ def _linearize(
     Hll = Hll + damping * eye
     Hll_inv = small_linalg.inv3x3(Hll)  # [L, 3, 3] closed-form batched
 
+    # Entering-state cost, fused into the linearization pass: the residual
+    # blocks are already materialized here, so this is two tiny quadratic
+    # reductions instead of the full standalone residual recompute that
+    # ``cost`` pays (saves one [N]-scale pass per GN iteration in the
+    # non-adaptive solve, which reuses this as "cost after previous step").
+    r_obs, _, _, w_obs = obs_parts
+    r_odo, _, _, w_odo = odo_parts
+    c_obs = jnp.sum(r_obs[:, None, :] @ w_obs @ r_obs[:, :, None])
+    c_odo = jnp.sum(r_odo[:, None, :] @ w_odo @ r_odo[:, :, None])
+    if prior_pose is not None:
+        r0c = poses[0] - prior_pose
+        r0c = r0c.at[2].set(geometry.wrap_angle(r0c[2]))
+        c_pr = r0c @ problem.prior_w @ r0c
+    else:
+        c_pr = jnp.zeros((), poses.dtype)
+    cost_in = 0.5 * (c_obs + c_odo + c_pr)
+
     return dict(
         Hpp_diag=Hpp_diag, Hll_inv=Hll_inv, Apl=Apl, Hij=Hij,
-        bp=bp, bl=bl,
+        bp=bp, bl=bl, cost_in=cost_in,
     )
 
 
@@ -610,9 +689,17 @@ def solve(
     tables: GatherTables | None = None,
     kf_width: int | None = None,
     odo_chain: bool = False,
+    unroll: bool = False,
 ):
     """Run Gauss-Newton / Levenberg-Marquardt with Schur-complement CG.
     Returns (poses, landmarks, BAStats).
+
+    ``unroll``: emit the GN loop as straight-line code instead of
+    ``lax.scan``. Same math and history; at the 10k/5k config-5 shape the
+    scan boundary costs a measured ~1.5 ms/GN in layout round-trips
+    (benchmarks/_gn_structure_probe.py), so the throughput benchmarks
+    unroll. Compile time scales with ``iters``; keep the scan (default)
+    for large ``iters`` or when compile latency matters.
 
     ``tables`` (:func:`build_tables`): precomputed gather tables that
     replace every segment_sum/scatter in the solver with padded gather-sums
@@ -637,7 +724,8 @@ def solve(
     def gn_step(carry, _):
         poses, landmarks, lam, last_cost = carry
         lin = _linearize(
-            problem, poses, landmarks, lam, tables, kf_width, odo_chain
+            problem, poses, landmarks, lam, tables, kf_width, odo_chain,
+            prior_pose,
         )
         # prior residual into bp[0]
         r0 = prior_pose - poses[0]
@@ -670,8 +758,8 @@ def solve(
         new_landmarks = new_landmarks.at[:, 2].set(
             geometry.wrap_angle(new_landmarks[:, 2])
         )
-        c = cost(problem, new_poses, new_landmarks, prior_pose)
         if adaptive:
+            c = cost(problem, new_poses, new_landmarks, prior_pose)
             accept = c <= last_cost
             poses = jnp.where(accept, new_poses, poses)
             landmarks = jnp.where(accept, new_landmarks, landmarks)
@@ -681,16 +769,37 @@ def solve(
                 jnp.minimum(lam * 10.0, 1e4),
             )
             c = jnp.where(accept, c, last_cost)
-        else:
-            poses, landmarks = new_poses, new_landmarks
-        return (poses, landmarks, lam, c), c
+            return (poses, landmarks, lam, c), c
+        # Non-adaptive: the entering-state cost computed inside the
+        # linearization pass IS "cost after the previous step" — emitting
+        # it (plus one standalone evaluation after the loop) yields the
+        # same history without the per-iteration residual recompute.
+        return (new_poses, new_landmarks, lam, lin["cost_in"]), lin["cost_in"]
 
-    c0 = cost(problem, problem.poses, problem.landmarks, prior_pose)
-    (poses, landmarks, _, _), costs = jax.lax.scan(
-        gn_step, (problem.poses, problem.landmarks, lam_floor, c0), None,
-        length=iters,
-    )
-    history = jnp.concatenate([c0[None], costs])
+    init = problem.poses, problem.landmarks, lam_floor
+    if adaptive:
+        c0 = cost(problem, problem.poses, problem.landmarks, prior_pose)
+        (poses, landmarks, _, _), costs = jax.lax.scan(
+            gn_step, (*init, c0), None, length=iters
+        )
+        history = jnp.concatenate([c0[None], costs])
+    else:
+        carry = (*init, jnp.zeros((), problem.poses.dtype))
+        if unroll:
+            emitted = []
+            for _ in range(iters):
+                carry, c = gn_step(carry, None)
+                emitted.append(c)
+            costs = (
+                jnp.stack(emitted)
+                if emitted
+                else jnp.zeros((0,), problem.poses.dtype)
+            )
+        else:
+            carry, costs = jax.lax.scan(gn_step, carry, None, length=iters)
+        poses, landmarks = carry[0], carry[1]
+        c_final = cost(problem, poses, landmarks, prior_pose)
+        history = jnp.concatenate([costs, c_final[None]])
     return poses, landmarks, BAStats(
-        initial_cost=c0, final_cost=history[-1], cost_history=history
+        initial_cost=history[0], final_cost=history[-1], cost_history=history
     )

@@ -231,7 +231,7 @@ def config4_ba(n_kf=1000, n_lm=500, iters=10, cg=50):
         return jax.jit(
             lambda pt: ba.solve(
                 pt[0], iters=iters, cg_iters=cg, damping=1e-4, tables=pt[1],
-                **static,
+                unroll=True, **static,
             )
         )
 
@@ -259,7 +259,8 @@ def config5_dist_ba(n_kf=10000, n_lm=5000):
     packed, tables, static = ba.prepare(problem)
     solve = jax.jit(
         lambda pt: ba.solve(
-            pt[0], iters=5, cg_iters=50, damping=1e-4, tables=pt[1], **static
+            pt[0], iters=5, cg_iters=50, damping=1e-4, tables=pt[1],
+            unroll=True, **static
         )
     )
     dt, _ = timeit(solve, [(packed, tables)], reps=3)

@@ -113,6 +113,31 @@ def test_ba_converges_to_ground_truth():
     assert lerr.mean() < 0.03, lerr.mean()
 
 
+def test_unrolled_gn_loop_matches_scan():
+    """``unroll=True`` (the throughput-bench path: the scan boundary costs
+    ~1.5 ms/GN at the config-5 shape) must produce the same solution and
+    cost history as the default scan, up to f32 fusion-order rounding."""
+    problem, _, _ = graph_builder.synthetic_ba_problem(
+        n_keyframes=60, n_landmarks=25, obs_per_kf=4, init_noise=0.2, seed=5
+    )
+    packed, tables, static = ba.prepare(problem)
+    kw = dict(iters=4, cg_iters=25, damping=1e-4, tables=tables, **static)
+    p_s, l_s, s_s = ba.solve(packed, **kw)
+    p_u, l_u, s_u = ba.solve(packed, unroll=True, **kw)
+    np.testing.assert_allclose(np.asarray(p_u), np.asarray(p_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_u), np.asarray(l_s), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_u.cost_history), np.asarray(s_s.cost_history), rtol=1e-5
+    )
+    assert s_u.cost_history.shape == (5,)
+    # the emitted history must equal an explicit per-state recompute
+    prior = packed.poses[0]
+    c_explicit = float(ba.cost(packed, p_u, l_u, prior))
+    np.testing.assert_allclose(
+        float(s_u.final_cost), c_explicit, rtol=1e-6
+    )
+
+
 def test_cost_monotone_under_lm_damping():
     problem, _, _ = graph_builder.synthetic_ba_problem(
         n_keyframes=40, n_landmarks=20, obs_per_kf=5, init_noise=0.3, seed=3
