@@ -45,31 +45,32 @@ from aruco_slam_tpu.models import ba, graph_builder
 K, L, OBS = 10000, 5000, 8
 problem, _, _ = graph_builder.synthetic_ba_problem(K, L, obs_per_kf=OBS, seed=0)
 packed, tables, static = ba.prepare(problem)
-O, chain = static["kf_width"], static["odo_chain"]
+O, ODO_CHAIN = static["kf_width"], static["odo_chain"]
 N = K * O
 prior_pose = packed.poses[0]
 
 lin = jax.jit(
     lambda: ba._linearize(
-        packed, packed.poses, packed.landmarks, 1e-4, tables, O, chain
+        packed, packed.poses, packed.landmarks, 1e-4, tables, O, ODO_CHAIN
     )
 )()
 np.asarray(lin["bp"])  # first-exec barrier
 
-R = 12  # chained applications per dispatch
+R = 12  # chained applications per dispatch (heavy stages)
+R_SMALL = 96  # sub-0.3 ms stages need more reps to clear tunnel jitter
 
 
 def sum_all_leaves(out):
     return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out))
 
 
-def chain(f):
+def chain(f, reps=R):
     @jax.jit
     def prog(c0):
         def step(c, _):
             return sum_all_leaves(f(c)) * 1e-12 + c * 0.5 + 0.25, None
 
-        return jax.lax.scan(step, c0, None, length=R)[0]
+        return jax.lax.scan(step, c0, None, length=reps)[0]
 
     return prog
 
@@ -94,20 +95,22 @@ def timeit(prog, x0, reps=5):
 
 def stage_linearize(c):
     return ba._linearize(
-        packed, packed.poses * c, packed.landmarks, 1e-4, tables, O, chain
+        packed, packed.poses * c, packed.landmarks, 1e-4, tables, O, ODO_CHAIN
     )
 
 
 def stage_reduced_rhs(c):
+    # perturb bl, not just bp: everything downstream of bl must recompute
+    # per chained rep, else XLA hoists the gather chain out of the scan
     bp = lin["bp"] * c
-    u = (lin["Hll_inv"] @ lin["bl"][..., None])[..., 0]
+    u = (lin["Hll_inv"] @ (lin["bl"] * c)[..., None])[..., 0]
     back = (lin["Apl"] @ u[packed.obs_lm][..., None])[..., 0]
     return bp - ba._kf_sum(back, packed.obs_kf, K, None, O)
 
 
 def stage_matvec_chain(v0):
     def body(v, _):
-        return ba._schur_matvec(lin, packed, v, tables, O, chain) * 1e-3 + v, None
+        return ba._schur_matvec(lin, packed, v, tables, O, ODO_CHAIN) * 1e-3 + v, None
 
     return jax.lax.scan(body, v0, None, length=R)[0]
 
@@ -157,7 +160,7 @@ def run():
             lambda c, cg=cg_iters, it=iters: ba.solve(
                 packed._replace(poses=packed.poses * c),
                 iters=it, cg_iters=cg, damping=1e-4, tables=tables,
-                kf_width=O, odo_chain=chain,
+                kf_width=O, odo_chain=ODO_CHAIN,
             )[2].final_cost[None]
         )
 
@@ -174,17 +177,18 @@ def run():
     rows = []
     stages = [
         ("linearize", chain(stage_linearize), jnp.float32(1.0),
-         bytes_linearize, 1),
-        ("reduced-rhs", chain(stage_reduced_rhs), jnp.float32(1.0),
-         bytes_reduced_rhs, 1),
+         bytes_linearize, 1, R),
+        ("reduced-rhs", chain(stage_reduced_rhs, R_SMALL), jnp.float32(1.0),
+         bytes_reduced_rhs, 1, R_SMALL),
         ("schur-matvec", jax.jit(stage_matvec_chain),
-         jnp.ones((K, 3), jnp.float32), bytes_matvec, 50),
-        ("backsub", chain(stage_backsub), jnp.float32(1.0),
-         bytes_backsub, 1),
-        ("cost", chain(stage_cost), jnp.float32(1.0), bytes_cost, 1),
+         jnp.ones((K, 3), jnp.float32), bytes_matvec, 50, R),
+        ("backsub", chain(stage_backsub, R_SMALL), jnp.float32(1.0),
+         bytes_backsub, 1, R_SMALL),
+        ("cost", chain(stage_cost, R_SMALL), jnp.float32(1.0), bytes_cost,
+         1, R_SMALL),
     ]
-    for name, prog, x0, nbytes, mult in stages:
-        t = (timeit(prog, x0) - floor) / R
+    for name, prog, x0, nbytes, mult, reps in stages:
+        t = (timeit(prog, x0) - floor) / reps
         bound_ms = nbytes / HBM_GBPS / 1e6
         rows.append(
             dict(
