@@ -129,6 +129,15 @@ class DetectorConfig:
     # attaches to hulls under noise); as an ADDITIONAL source the union
     # can only add candidates, so that regression cannot occur.
     closing_union: bool = True
+    # Quad-level dedup of the union, applied before the expensive
+    # subpix/decode stages: a closed-fg candidate whose quad sits within
+    # this many pixels (max corner distance) of an exact-valid raw-fg
+    # candidate is the same component and is suppressed; fragment merges
+    # (the candidates the union exists for) differ by many pixels and
+    # survive. Uses EXACT post-chain validity, so loose speckle cannot
+    # crowd the compacted budget (a stats-level variant regressed
+    # noise_s25 for exactly that reason and was reverted).
+    closing_dedup_px: float = 2.0
 
 
 class Detections(NamedTuple):
@@ -274,29 +283,14 @@ def _masked_argmax(score: Array, mask: Array) -> Array:
     return jnp.argmax(jnp.where(mask, score, -jnp.inf))
 
 
-def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
-    """Top-K components by size -> 4 corner points each.
-
-    TPU-friendly formulation (VERDICT round 1 items 1/2; see
-    benchmarks/quads_micro_probe.py for the measurements that shaped it):
-
-    - Component stats (size score, bbox) are scatter-reduced over a
-      ``stats_stride``-subsampled pixel set keyed by the component *root*
-      (full-res flat index) — XLA:TPU serializes scatter updates, so
-      shrinking the update count by stride^2 cuts this stage ~16x at
-      stride 4; the [H*W] table/top-k domain is dense bandwidth and free.
-    - Per candidate, one fixed ``corner_window``^2 label window is gathered
-      with two 1-D ``take``s (row gather then lane gather — far cheaper
-      than an elementwise 2-D gather), strided when the component exceeds
-      the window; the <=stride px corner quantization is recovered by
-      ``refine_corners_subpix``.
-    - The exact ``min_component_pixels`` filter is applied per candidate
-      from its window pixel count (the window covers the full component).
-
-    Returns (corners [K, 4, 2] float32, cand_valid [K])."""
+def component_candidates(labels: Array, fg: Array, cfg: DetectorConfig):
+    """Stats phase of :func:`extract_quads`: top-K components by
+    (subsampled) size. Returns (roots [K] int32 full-res flat root index,
+    bbox [K, 4] int32 (x0, x1, y0, y1), cand_valid [K], count_ds [K]
+    float32 subsampled pixel count — comparable across label images of the
+    same shape/stride, used by the closing-union dedup)."""
     h, w = fg.shape
     n = h * w
-    W = cfg.corner_window
     st = cfg.stats_stride
     labels2d = labels.reshape(h, w)
 
@@ -371,15 +365,38 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
     c_x1 = jnp.minimum(bb_maxx + (st - 1), w - 1)
     c_y0 = jnp.maximum(bb_miny - (st - 1), 0)
     c_y1 = jnp.minimum(bb_maxy + (st - 1), h - 1)
+    bbox = jnp.stack([c_x0, c_x1, c_y0, c_y1], axis=-1).astype(jnp.int32)
+    return roots, bbox, cand_valid, svals.astype(jnp.float32)
 
+
+def quads_from_candidates(
+    labels2d: Array, roots: Array, bbox: Array, cand_valid: Array,
+    cfg: DetectorConfig, src: Array | None = None,
+):
+    """Corner-chain phase of :func:`extract_quads` over prepared
+    candidates. ``labels2d`` is [H, W], or [S, H, W] with ``src`` [K]
+    selecting each candidate's source image (the closing-union path runs
+    ONE chain pass over candidates from the raw and closed label images;
+    the per-candidate row gather rides a flat [S*H, W] view, so the
+    source select costs one index add, not an image copy)."""
+    if src is None:
+        h, w = labels2d.shape
+        labels_rows = labels2d
+        row_base = jnp.zeros_like(roots)
+    else:
+        _, h, w = labels2d.shape
+        labels_rows = labels2d.reshape(-1, w)
+        row_base = src.astype(jnp.int32) * h
+    n = h * w
+    W = cfg.corner_window
     span = jnp.arange(W, dtype=jnp.int32)
 
-    def corners_for(root, x0, x1, y0, y1):
+    def corners_for(root, x0, x1, y0, y1, base):
         extent = jnp.maximum(x1 - x0, y1 - y0) + 1
         stride = jnp.maximum((extent + W - 1) // W, 1)
         wy = jnp.clip(y0 + stride * span, 0, h - 1)
         wx = jnp.clip(x0 + stride * span, 0, w - 1)
-        rows = jnp.take(labels2d, wy, axis=0)  # [W, w] contiguous row gather
+        rows = jnp.take(labels_rows, base + wy, axis=0)  # [W, w] row gather
         lab_w = jnp.take(rows, wx, axis=1)  # [W, W] lane gather
         # bg pixels keep their own flat index as label and root is a fg
         # pixel, so equality alone identifies the component.
@@ -475,13 +492,41 @@ def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
         size_est = npix * (stride * stride).astype(jnp.float32)
         return jnp.stack([p0, p1, p2, p3]), size_est
 
-    corners, size_est = jax.vmap(corners_for)(roots, c_x0, c_x1, c_y0, c_y1)
+    corners, size_est = jax.vmap(corners_for)(
+        roots, bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3], row_base
+    )
     cand_valid = (
         cand_valid
         & (size_est >= cfg.min_component_pixels)
         & (size_est <= cfg.max_component_fraction * n)
     )
     return corners, cand_valid
+
+
+def extract_quads(labels: Array, fg: Array, cfg: DetectorConfig):
+    """Top-K components by size -> 4 corner points each.
+
+    TPU-friendly formulation (VERDICT round 1 items 1/2; see
+    benchmarks/quads_micro_probe.py for the measurements that shaped it):
+
+    - Component stats (size score, bbox) are sort-reduced over a
+      ``stats_stride``-subsampled pixel set keyed by the component *root*
+      (full-res flat index) — XLA:TPU serializes scatter updates, so the
+      counts come from a bitonic sort + log-scans instead
+      (:func:`component_candidates`).
+    - Per candidate, one fixed ``corner_window``^2 label window is gathered
+      with two 1-D ``take``s (row gather then lane gather — far cheaper
+      than an elementwise 2-D gather), strided when the component exceeds
+      the window; the <=stride px corner quantization is recovered by
+      ``refine_corners_subpix`` (:func:`quads_from_candidates`).
+    - The exact ``min_component_pixels`` filter is applied per candidate
+      from its window pixel count (the window covers the full component).
+
+    Returns (corners [K, 4, 2] float32, cand_valid [K])."""
+    roots, bbox, cand_valid, _ = component_candidates(labels, fg, cfg)
+    return quads_from_candidates(
+        labels.reshape(fg.shape), roots, bbox, cand_valid, cfg
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -792,17 +837,41 @@ def binary_close3(fg: Array) -> Array:
 
 def _candidates_at_radius(img: Array, radius: int, cfg: DetectorConfig):
     """Candidate quads at one threshold radius: the raw-foreground CCL,
-    plus (``closing_union``) a second CCL over the 3x3-closed foreground —
-    exactly the union shape the multi-radius sweep already uses, so the
-    per-id dedup downstream absorbs the duplicates."""
+    plus (``closing_union``) a second CCL over the 3x3-closed foreground.
+
+    Returns (raw_quads, raw_valid, closed_quads, closed_valid); the closed
+    pair is None without ``closing_union``. The caller dedups the union at
+    the QUAD level before subpix/decode (see detect_markers)."""
     fg, labels = _threshold_and_label(img, radius, cfg)
-    q, v = extract_quads(labels, fg, cfg)
     if not cfg.closing_union:
-        return [q], [v]
+        q, v = extract_quads(labels, fg, cfg)
+        return q, v, None, None
+    labels2d = labels.reshape(fg.shape)
+    r_roots, r_bbox, r_valid, _ = component_candidates(labels, fg, cfg)
     fg_c = binary_close3(fg)
     labels_c = _label_components_dispatch(fg_c, cfg)
-    q2, v2 = extract_quads(labels_c, fg_c, cfg)
-    return [q, q2], [v, v2]
+    c_roots, c_bbox, c_valid, _ = component_candidates(labels_c, fg_c, cfg)
+    # ONE corner-chain pass over both sources (stacked label images, per-
+    # candidate source select is a row-index add). A stats-level merged
+    # top-K was measured and REVERTED: pre-chain validity is the loose
+    # subsampled pre-filter (the exact min_component_pixels test needs the
+    # chain's window pixel count), so under heavy noise loose-valid raw
+    # speckle crowded the merged budget and cost a marker at noise_s25
+    # (0.76 -> 0.72). Each source keeps its own top-K through the chain;
+    # the quad-level dedup in detect_markers then compacts to one budget
+    # before subpix/decode using EXACT validity.
+    roots = jnp.concatenate([r_roots, c_roots])
+    bbox = jnp.concatenate([r_bbox, c_bbox])
+    valid = jnp.concatenate([r_valid, c_valid])
+    src = jnp.concatenate(
+        [jnp.zeros_like(r_roots), jnp.ones_like(c_roots)]
+    )
+    k = r_roots.shape[0]
+    q, v = quads_from_candidates(
+        jnp.stack([labels2d, labels_c.reshape(fg.shape)]),
+        roots, bbox, valid, cfg, src=src,
+    )
+    return q[:k], v[:k], q[k:], v[k:]
 
 
 def to_grayscale(img: Array, channel_order: str = "bgr") -> Array:
@@ -831,13 +900,44 @@ def detect_markers(
     if img.ndim == 3 and img.shape[-1] == 3:
         img = to_grayscale(img)
     radii = cfg.adaptive_radii or (cfg.adaptive_radius,)
-    quad_list, valid_list = [], []
+    raw_q, raw_v, clo_q, clo_v = [], [], [], []
     for r in radii:
-        qs, vs = _candidates_at_radius(img, r, cfg)
-        quad_list.extend(qs)
-        valid_list.extend(vs)
-    quads = jnp.concatenate(quad_list)
-    cand_valid = jnp.concatenate(valid_list)
+        q, v, q2, v2 = _candidates_at_radius(img, r, cfg)
+        raw_q.append(q)
+        raw_v.append(v)
+        if q2 is not None:
+            clo_q.append(q2)
+            clo_v.append(v2)
+    quads = jnp.concatenate(raw_q)
+    cand_valid = jnp.concatenate(raw_v)
+    if clo_q:
+        # Closed-fg union, deduped BEFORE the expensive subpix/decode
+        # stages: for a healthy border the closed component is the raw
+        # component (quads within ~a pixel), so a closed candidate whose
+        # quad matches any exact-valid raw candidate is redundant; the
+        # ones the union exists for (fragment merges — raw-missed markers)
+        # differ by many pixels and survive. Compacting here keeps the
+        # per-frame candidate count at the raw slot budget, so the union
+        # costs one extra CCL+stats+chain pass instead of doubling
+        # subpix+decode too (measured 1.9x frame cost when deduped after
+        # decode: image-level 534 vs 731 frames/s/chip).
+        cq = jnp.concatenate(clo_q)
+        cv = jnp.concatenate(clo_v)
+        d = jnp.max(
+            jnp.linalg.norm(cq[:, None, :, :] - quads[None, :, :, :], axis=-1),
+            axis=-1,
+        )  # [Kc, Kr] max corner distance
+        near_raw = jnp.any(
+            (d < cfg.closing_dedup_px) & cand_valid[None, :], axis=1
+        )
+        cv = cv & jnp.logical_not(near_raw)
+        k_out = quads.shape[0]
+        all_q = jnp.concatenate([quads, cq])
+        all_v = jnp.concatenate([cand_valid, cv])
+        # valid-first stable compaction: raw candidates keep priority
+        order = jnp.argsort(jnp.logical_not(all_v), stable=True)[:k_out]
+        quads = all_q[order]
+        cand_valid = all_v[order]
     if cfg.subpix_refine:
         if cfg.subpix_window_small < cfg.subpix_window:
             extent = jnp.max(
@@ -879,16 +979,6 @@ def detect_markers(
     dup = jnp.any(same_id & earlier, axis=1)
     valid = valid & jnp.logical_not(dup)
     ids = jnp.where(valid, mids, -1)
-    if cfg.closing_union:
-        # Compact the doubled candidate axis back to the raw-source slot
-        # count: after dedup the union holds at most one valid entry per
-        # marker id, so moving valid entries first and trimming keeps the
-        # downstream contract (and PnP/EKF slot budget) unchanged.
-        k_out = ids.shape[0] // 2
-        order = jnp.argsort(jnp.logical_not(valid), stable=True)[:k_out]
-        ids = ids[order]
-        corners = corners[order]
-        valid = valid[order]
     return Detections(ids=ids, corners=corners, valid=valid)
 
 
