@@ -138,6 +138,35 @@ class DetectorConfig:
     # crowd the compacted budget (a stats-level variant regressed
     # noise_s25 for exactly that reason and was reverted).
     closing_dedup_px: float = 2.0
+    # Second-chance decode (round 5): candidates whose FIRST decode pass
+    # finds no acceptable dictionary match (dict miss or border overrun)
+    # are re-decoded with denser per-cell sampling + per-sample majority
+    # vote — the regime where point sampling misreads a heavily
+    # blurred+noisy cell that OpenCV's perspective-removed pixel counting
+    # still gets (docs/PARITY.md blur+noise row). The retry result is
+    # accepted ONLY where pass 1 produced nothing, so it can only add
+    # recall on the pass-1-miss set — the same union argument as
+    # closing_union. Round 4 measured dense sampling as a REPLACEMENT and
+    # rejected it (loses clean/illumination recall); as a fallback that
+    # regression cannot occur.
+    second_chance: bool = True
+    retry_cell_samples: int = 4
+    retry_cell_vote: bool = True
+    # Retry slots actually decoded: candidates that are quad-valid but
+    # decode-failed are compacted to the front and only the first
+    # ``retry_budget`` get the dense re-decode — a typical frame has 0-3
+    # such candidates, and the dense pass costs ~25 us/slot in gathers
+    # (full-width retry measured +0.59 ms/frame at batch 32; budget 8
+    # +0.27). Budget 4 matched budget 8's recall on every measured
+    # condition (benchmarks/_retry_budget_check.py). Overflow slots keep
+    # their pass-1 failure.
+    retry_budget: int = 4
+    # CCL rounds for the closing-union's SECOND (closed-mask) labeling:
+    # it is seeded with the converged raw labels, so the only remaining
+    # work is labels crossing the closed bridges and re-flooding the
+    # merged fragment (~1 "turn"); 2 rounds measured recall-identical to
+    # 4 on the parity sweep at half the second propagation's cost.
+    closed_ccl_rounds: int = 2
 
 
 class Detections(NamedTuple):
@@ -222,7 +251,7 @@ def _seg_min_scan(lab: Array, fg: Array, big, axis: int, reverse: bool) -> Array
     return jnp.where(fg, jnp.minimum(lab, out), lab)
 
 
-def label_components(fg: Array, rounds: int) -> Array:
+def label_components(fg: Array, rounds: int, init: Array | None = None) -> Array:
     """8-connected CCL by min-label propagation with run-scan acceleration.
 
     Each round: one 8-neighbor min step (handles diagonal links, 1 px) then
@@ -234,12 +263,23 @@ def label_components(fg: Array, rounds: int) -> Array:
     ~120 ms/frame in 48 full-image random gathers on TPU; this one is
     bandwidth-bound.
 
+    ``init`` ([H, W] int32): optional warm-start labels — the
+    closing-union's closed-mask pass seeds with the converged RAW labels,
+    so only bridge-crossing + re-flooding work remains and the trip count
+    can drop (DetectorConfig.closed_ccl_rounds). Seeded and from-scratch
+    labeling converge to the same fixed point; at finite rounds the seeded
+    form is at least as converged (its start is pointwise <= on fg).
+
     Returns flat labels [H*W]; each foreground pixel's label converges to
     the min flat index in its component; background keeps its own index.
     """
     h, w = fg.shape
     n = h * w
     idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    if init is not None:
+        # a seed must never exceed the pixel's own index on background
+        # (bg keeps own index by convention) — mask it onto fg only
+        idx = jnp.where(fg, jnp.minimum(init, idx), idx)
     big = jnp.int32(n)  # sentinel ordering value (never a real winner)
 
     def neighbor_min(lab):
@@ -283,43 +323,38 @@ def _masked_argmax(score: Array, mask: Array) -> Array:
     return jnp.argmax(jnp.where(mask, score, -jnp.inf))
 
 
-def component_candidates(labels: Array, fg: Array, cfg: DetectorConfig):
-    """Stats phase of :func:`extract_quads`: top-K components by
-    (subsampled) size. Returns (roots [K] int32 full-res flat root index,
-    bbox [K, 4] int32 (x0, x1, y0, y1), cand_valid [K], count_ds [K]
-    float32 subsampled pixel count — comparable across label images of the
-    same shape/stride, used by the closing-union dedup)."""
-    h, w = fg.shape
+def _component_stats_multi(labels_list, fg_list, cfg: DetectorConfig):
+    """Sort-based component stats over one or more label images of the
+    same shape (the closing-union's raw + closed pair rides ONE sort):
+    each source's subsampled root keys are offset by ``src * H*W`` so
+    sources cannot collide, the concatenated keys are sorted once, and
+    segment counts fall out of two log-scans. Selection (top-K) then runs
+    PER SOURCE so each keeps its own candidate budget — a merged budget
+    was measured and reverted in round 4 (loose raw speckle crowded out
+    closed fragment-merges under heavy noise).
+
+    Keyed by each pixel's component root (its full-res flat index): only
+    the stride^2-subsampled pixels contribute, so two roots in one stride
+    cell can never merge their stats (ADVICE round 2). XLA:TPU lowers
+    scatter to a serial update loop (~0.2 ms/frame for a [H*W] count
+    table), so the counts come from a bitonic sort + log-scans instead —
+    all dense VPU work (round 3).
+
+    Returns a list of (roots, bbox, cand_valid, count_ds) per source."""
+    h, w = fg_list[0].shape
     n = h * w
     st = cfg.stats_stride
-    labels2d = labels.reshape(h, w)
-
-    # --- stats on the subsampled grid --------------------------------------
-    # Keyed by each pixel's component root (its full-res flat index): the
-    # tables are [H*W] but only the stride^2-subsampled pixels update them,
-    # so the serial-scatter cost is unchanged vs a grid-cell key while the
-    # root-cell collision mode (two roots in one stride^2 cell merging
-    # their stats and silently dropping a candidate — ADVICE round 2) is
-    # impossible by construction. The table build/select is dense
-    # bandwidth, which the TPU doesn't notice at these sizes.
-    lab_ds = labels2d[::st, ::st]  # [hs, ws] values = full-res root indices
-    fg_ds = fg[::st, ::st]
-    hs, ws = lab_ds.shape
-    cellf = lab_ds.reshape(-1)
-    fgf = fg_ds.reshape(-1)
-    big = jnp.int32(n)
-    # Scatter-free per-root counts (round 3): XLA:TPU lowers scatter to a
-    # serial per-update loop (~0.2 ms/frame for the 19.2k-update count
-    # table), so the counts are built from a SORT of the subsampled root
-    # keys instead — a bitonic sort plus two log-scans, all dense VPU
-    # work. Each segment of equal keys in the sorted array is one
-    # component; its length (position of segment end minus position of
-    # segment start + 1) is the count. The top-k then runs over the
-    # [hs*ws] segment-end array (16x smaller than the old [H*W] table).
-    m = cellf.shape[0]
-    key = jnp.where(fgf, cellf, big)  # bg -> sentinel, sorts last
+    S = len(labels_list)
+    cells = [l.reshape(h, w)[::st, ::st].reshape(-1) for l in labels_list]
+    fgs = [f[::st, ::st].reshape(-1) for f in fg_list]
+    hs, ws = fg_list[0][::st, ::st].shape
+    m = hs * ws
+    big = jnp.int32(S * n)  # sentinel beyond every source's key range
+    key = jnp.concatenate(
+        [jnp.where(fgs[s], cells[s] + s * n, big) for s in range(S)]
+    )
     sk = jnp.sort(key)
-    pos = jnp.arange(m, dtype=jnp.int32)
+    pos = jnp.arange(S * m, dtype=jnp.int32)
     neq = sk[1:] != sk[:-1]
     is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
     is_end = jnp.concatenate([neq, jnp.ones((1,), bool)])
@@ -330,43 +365,59 @@ def component_candidates(labels: Array, fg: Array, cfg: DetectorConfig):
 
     # selection: subsampled count is ~count/st^2 with sampling variance, so
     # gate at half the expected ratio here and re-apply the exact filter per
-    # candidate from its window below.
+    # candidate from its window in quads_from_candidates.
     min_ds = max(1, cfg.min_component_pixels // (st * st) // 2)
     max_ds = jnp.int32(cfg.max_component_fraction * (n // (st * st)))
     ok = is_end & (sk < big) & (counts_end >= min_ds) & (counts_end <= max_ds)
-    score = jnp.where(ok, counts_end, 0)
-    if cfg.approx_topk:
-        # TPU-optimized approximate top-k (exact fallback elsewhere);
-        # recall per element 0.99 over the segment-end array for 24 slots
-        svals, idx_k = jax.lax.approx_max_k(
-            score.astype(jnp.float32), cfg.max_candidates, recall_target=0.99
-        )
-        cand_valid = svals > 0
-    else:
-        svals, idx_k = jax.lax.top_k(score, cfg.max_candidates)
-        cand_valid = svals > 0
-    roots = sk[idx_k].astype(jnp.int32)  # the segment key IS the root index
-    # a sentinel-segment slot (all-bg frame) must not alias a real root
-    roots = jnp.where(cand_valid, roots, big)
 
-    # per-candidate bbox from the subsampled grid: [K, hs*ws] masked
-    # min/max — dense VPU reductions, no scatter
     gy = (jnp.arange(hs, dtype=jnp.int32) * st)[:, None]
     gx = (jnp.arange(ws, dtype=jnp.int32) * st)[None, :]
     px_y = jnp.broadcast_to(gy, (hs, ws)).reshape(-1)
     px_x = jnp.broadcast_to(gx, (hs, ws)).reshape(-1)
-    sel = (cellf[None, :] == roots[:, None]) & fgf[None, :]  # [K, hs*ws]
-    bb_minx = jnp.min(jnp.where(sel, px_x[None, :], big), axis=1)
-    bb_maxx = jnp.max(jnp.where(sel, px_x[None, :], -1), axis=1)
-    bb_miny = jnp.min(jnp.where(sel, px_y[None, :], big), axis=1)
-    bb_maxy = jnp.max(jnp.where(sel, px_y[None, :], -1), axis=1)
-    # bbox quantization: subsampling can miss extremes by up to st-1 px
-    c_x0 = jnp.maximum(bb_minx - (st - 1), 0)
-    c_x1 = jnp.minimum(bb_maxx + (st - 1), w - 1)
-    c_y0 = jnp.maximum(bb_miny - (st - 1), 0)
-    c_y1 = jnp.minimum(bb_maxy + (st - 1), h - 1)
-    bbox = jnp.stack([c_x0, c_x1, c_y0, c_y1], axis=-1).astype(jnp.int32)
-    return roots, bbox, cand_valid, svals.astype(jnp.float32)
+    nbig = jnp.int32(n)
+
+    out = []
+    for s in range(S):
+        ok_s = ok & (sk >= s * n) & (sk < (s + 1) * n) if S > 1 else ok
+        score = jnp.where(ok_s, counts_end, 0)
+        if cfg.approx_topk:
+            # TPU-optimized approximate top-k (exact fallback elsewhere);
+            # recall per element 0.99 over the segment-end array
+            svals, idx_k = jax.lax.approx_max_k(
+                score.astype(jnp.float32), cfg.max_candidates,
+                recall_target=0.99,
+            )
+            cand_valid = svals > 0
+        else:
+            svals, idx_k = jax.lax.top_k(score, cfg.max_candidates)
+            cand_valid = svals > 0
+        roots = (sk[idx_k] - s * n).astype(jnp.int32)  # segment key IS root
+        # a sentinel-segment slot (all-bg frame) must not alias a real root
+        roots = jnp.where(cand_valid, roots, nbig)
+
+        # per-candidate bbox from the source's subsampled grid: [K, hs*ws]
+        # masked min/max — dense VPU reductions, no scatter
+        sel = (cells[s][None, :] == roots[:, None]) & fgs[s][None, :]
+        bb_minx = jnp.min(jnp.where(sel, px_x[None, :], nbig), axis=1)
+        bb_maxx = jnp.max(jnp.where(sel, px_x[None, :], -1), axis=1)
+        bb_miny = jnp.min(jnp.where(sel, px_y[None, :], nbig), axis=1)
+        bb_maxy = jnp.max(jnp.where(sel, px_y[None, :], -1), axis=1)
+        # bbox quantization: subsampling can miss extremes by up to st-1 px
+        c_x0 = jnp.maximum(bb_minx - (st - 1), 0)
+        c_x1 = jnp.minimum(bb_maxx + (st - 1), w - 1)
+        c_y0 = jnp.maximum(bb_miny - (st - 1), 0)
+        c_y1 = jnp.minimum(bb_maxy + (st - 1), h - 1)
+        bbox = jnp.stack([c_x0, c_x1, c_y0, c_y1], axis=-1).astype(jnp.int32)
+        out.append((roots, bbox, cand_valid, svals.astype(jnp.float32)))
+    return out
+
+
+def component_candidates(labels: Array, fg: Array, cfg: DetectorConfig):
+    """Stats phase of :func:`extract_quads`: top-K components by
+    (subsampled) size. Returns (roots [K] int32 full-res flat root index,
+    bbox [K, 4] int32 (x0, x1, y0, y1), cand_valid [K], count_ds [K]
+    float32 subsampled pixel count)."""
+    return _component_stats_multi([labels], [fg], cfg)[0]
 
 
 def quads_from_candidates(
@@ -835,6 +886,39 @@ def binary_close3(fg: Array) -> Array:
     return ero
 
 
+def _union_masks_and_labels(img: Array, radius: int, cfg: DetectorConfig):
+    """(fg, labels, fg_closed, labels_closed) for the closing-union source:
+    ONE Pallas launch on TPU (threshold + 3x3 close + both CCLs, one HBM
+    image read — the unfused triple cost +0.45 ms/frame, VERDICT r4), the
+    stage-by-stage XLA path elsewhere. Bit-identical by construction."""
+    h, w = img.shape
+    stride = max(cfg.mean_stride, 1)
+    pow2 = (stride & (stride - 1)) == 0
+    aligned = (
+        h % 8 == 0 and w % 128 == 0 and h % stride == 0 and w % stride == 0
+        and pow2
+    )
+    use_pallas = cfg.use_pallas_ccl
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and aligned:
+        from aruco_slam_tpu.ops.kernels import ccl as ccl_kernel
+
+        return ccl_kernel.threshold_label_union_tpu(
+            img, radius, cfg.adaptive_C, stride, cfg.ccl_rounds,
+            cfg.closed_ccl_rounds,
+        )
+    fg = adaptive_threshold(img, radius, cfg.adaptive_C, cfg.mean_stride)
+    labels = _label_components_dispatch(fg, cfg)
+    fg_c = binary_close3(fg)
+    # closed pass seeded with the converged raw labels (see
+    # label_components): only bridge-crossing work remains
+    labels_c = label_components(
+        fg_c, cfg.closed_ccl_rounds, init=labels.reshape(fg.shape)
+    )
+    return fg, labels, fg_c, labels_c
+
+
 def _candidates_at_radius(img: Array, radius: int, cfg: DetectorConfig):
     """Candidate quads at one threshold radius: the raw-foreground CCL,
     plus (``closing_union``) a second CCL over the 3x3-closed foreground.
@@ -842,24 +926,22 @@ def _candidates_at_radius(img: Array, radius: int, cfg: DetectorConfig):
     Returns (raw_quads, raw_valid, closed_quads, closed_valid); the closed
     pair is None without ``closing_union``. The caller dedups the union at
     the QUAD level before subpix/decode (see detect_markers)."""
-    fg, labels = _threshold_and_label(img, radius, cfg)
     if not cfg.closing_union:
+        fg, labels = _threshold_and_label(img, radius, cfg)
         q, v = extract_quads(labels, fg, cfg)
         return q, v, None, None
-    labels2d = labels.reshape(fg.shape)
-    r_roots, r_bbox, r_valid, _ = component_candidates(labels, fg, cfg)
-    fg_c = binary_close3(fg)
-    labels_c = _label_components_dispatch(fg_c, cfg)
-    c_roots, c_bbox, c_valid, _ = component_candidates(labels_c, fg_c, cfg)
-    # ONE corner-chain pass over both sources (stacked label images, per-
-    # candidate source select is a row-index add). A stats-level merged
-    # top-K was measured and REVERTED: pre-chain validity is the loose
-    # subsampled pre-filter (the exact min_component_pixels test needs the
-    # chain's window pixel count), so under heavy noise loose-valid raw
-    # speckle crowded the merged budget and cost a marker at noise_s25
-    # (0.76 -> 0.72). Each source keeps its own top-K through the chain;
-    # the quad-level dedup in detect_markers then compacts to one budget
-    # before subpix/decode using EXACT validity.
+    fg, labels, fg_c, labels_c = _union_masks_and_labels(img, radius, cfg)
+    # ONE stats pass over both sources (source-offset keys, one sort) and
+    # ONE corner-chain pass (stacked label images, per-candidate source
+    # select is a row-index add). Each source keeps its own top-K budget
+    # through the chain — a merged budget was measured and REVERTED in
+    # round 4 (pre-chain validity is the loose subsampled pre-filter, so
+    # under heavy noise loose-valid raw speckle crowded out closed
+    # fragment-merges at noise_s25). The quad-level dedup in detect_markers
+    # then compacts to one budget before subpix/decode using EXACT validity.
+    (r_roots, r_bbox, r_valid, _), (c_roots, c_bbox, c_valid, _) = (
+        _component_stats_multi([labels, labels_c], [fg, fg_c], cfg)
+    )
     roots = jnp.concatenate([r_roots, c_roots])
     bbox = jnp.concatenate([r_bbox, c_bbox])
     valid = jnp.concatenate([r_valid, c_valid])
@@ -868,7 +950,7 @@ def _candidates_at_radius(img: Array, radius: int, cfg: DetectorConfig):
     )
     k = r_roots.shape[0]
     q, v = quads_from_candidates(
-        jnp.stack([labels2d, labels_c.reshape(fg.shape)]),
+        jnp.stack([labels.reshape(fg.shape), labels_c.reshape(fg.shape)]),
         roots, bbox, valid, cfg, src=src,
     )
     return q[:k], v[:k], q[k:], v[k:]
@@ -923,6 +1005,14 @@ def detect_markers(
         # decode: image-level 534 vs 731 frames/s/chip).
         cq = jnp.concatenate(clo_q)
         cv = jnp.concatenate(clo_v)
+        # Elementwise (alignment-sensitive) quad distance, DELIBERATELY:
+        # a rotation-invariant variant (min over the 4 cyclic corner
+        # alignments, ADVICE r4) was measured in round 5 and suppresses
+        # slightly more closed duplicates — but the freed budget slots
+        # admitted a garbage decode (false id 1023 at blur+noise/close)
+        # and cost a marker at noise_s25 (20 -> 19 hits). The occasional
+        # surviving duplicate is cheaper than either: the post-decode id
+        # dedup removes it anyway.
         d = jnp.max(
             jnp.linalg.norm(cq[:, None, :, :] - quads[None, :, :, :], axis=-1),
             axis=-1,
@@ -956,6 +1046,41 @@ def detect_markers(
     mids, corners, contrast, border_errs, dict_ok = decode_candidates(
         img, quads, cfg
     )
+    if cfg.second_chance:
+        # Retry pass for pass-1 decode misses (dict miss OR border
+        # overrun): denser sampling + per-sample vote, only for
+        # quad-valid candidates, compacted to a fixed ``retry_budget``
+        # (the dense pass costs ~25 us/slot of ~serial gathers; decoding
+        # all K slots measured +0.59 ms/frame at batch 32 vs +0.2 at
+        # budget 8). The pass-1 winners keep their results bit-identically.
+        from dataclasses import replace as _dc_replace
+
+        retry_cfg = _dc_replace(
+            cfg,
+            cell_samples=cfg.retry_cell_samples,
+            cell_vote=cfg.retry_cell_vote,
+        )
+        miss1 = jnp.logical_not(
+            dict_ok & (border_errs <= cfg.max_border_errors)
+        )
+        eligible = cand_valid & miss1
+        r_budget = min(cfg.retry_budget, quads.shape[0])
+        sel = jnp.argsort(jnp.logical_not(eligible), stable=True)[:r_budget]
+        mids2, corners2, contrast2, border2, ok2 = decode_candidates(
+            img, quads[sel], retry_cfg
+        )
+        use2 = eligible[sel]
+        mids = mids.at[sel].set(jnp.where(use2, mids2, mids[sel]))
+        corners = corners.at[sel].set(
+            jnp.where(use2[:, None, None], corners2, corners[sel])
+        )
+        contrast = contrast.at[sel].set(
+            jnp.where(use2, contrast2, contrast[sel])
+        )
+        border_errs = border_errs.at[sel].set(
+            jnp.where(use2, border2, border_errs[sel])
+        )
+        dict_ok = dict_ok.at[sel].set(jnp.where(use2, ok2, dict_ok[sel]))
 
     # corner sanity: all pairwise separations above threshold
     diffs = corners[:, :, None, :] - corners[:, None, :, :]  # [K,4,4,2]

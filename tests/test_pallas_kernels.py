@@ -146,6 +146,72 @@ def test_threshold_ccl_megakernel_matches_xla():
         assert jnp.array_equal(lab_k, lab_x), (shape, stride, radius)
 
 
+def test_threshold_ccl_union_megakernel_matches_xla():
+    """The closing-union megakernel (threshold + 3x3 close + BOTH CCLs in
+    one launch) must reproduce the unfused XLA quadruple bit-identically:
+    threshold == adaptive_threshold, close == binary_close3, raw labels ==
+    label_components, and the closed labels == the SEEDED 2-round
+    label_components the XLA union path ships (same formulation both
+    backends — detector._union_masks_and_labels)."""
+    import numpy as np
+    from aruco_slam_tpu.ops import detector
+    from aruco_slam_tpu.ops.kernels import ccl
+
+    rng = np.random.default_rng(9)
+    for shape, stride, radius in (
+        ((64, 256), 4, 7),
+        ((64, 128), 1, 5),
+        ((128, 128), 2, 7),
+    ):
+        img = jnp.asarray(rng.integers(0, 256, shape).astype(np.uint8))
+        fg_k, lab_k, fgc_k, labc_k = ccl.threshold_label_union_tpu(
+            img, radius, 7.0, stride, 4, closed_rounds=2, interpret=True
+        )
+        fg_x = jax.jit(
+            lambda im, r=radius, s=stride: detector.adaptive_threshold(
+                im, r, 7.0, s
+            )
+        )(img)
+        fgc_x = jax.jit(detector.binary_close3)(fg_x)
+        lab_x = jax.jit(lambda m: detector.label_components(m, 4))(fg_x)
+        labc_x = jax.jit(
+            lambda m, s: detector.label_components(m, 2, init=s)
+        )(fgc_x, lab_x.reshape(fg_x.shape))
+        assert jnp.array_equal(fg_k, fg_x), (shape, stride, radius)
+        assert jnp.array_equal(fgc_k, fgc_x), (shape, stride, radius)
+        assert jnp.array_equal(lab_k, lab_x), (shape, stride, radius)
+        assert jnp.array_equal(labc_k, labc_x), (shape, stride, radius)
+
+
+def test_seeded_closed_ccl_converges_on_markers():
+    """The seeded 2-round closed labeling must equal the from-scratch
+    fixed point on a rendered marker scene (the production case the trip
+    count was chosen for; random blobs can legitimately need more)."""
+    import numpy as np
+    from aruco_slam_tpu.ops import detector
+    from aruco_slam_tpu.ops.camera import CameraIntrinsics
+    from aruco_slam_tpu.sim import renderer, synthetic
+
+    cam = CameraIntrinsics.create(600.0, 600.0, 320.0, 240.0)
+    arena = synthetic.make_arena(n_markers=20)
+    stack = renderer.build_marker_stack(arena)
+    cam_pos, R_wc = renderer.camera_pose_from_robot(
+        jnp.asarray((2.55, -2.0, 1.2), jnp.float32)
+    )
+    img = renderer.render_frame(cam_pos, R_wc, stack, cam)
+    cfg = detector.DetectorConfig()
+    fg = detector.adaptive_threshold(
+        img, cfg.adaptive_radius, cfg.adaptive_C, cfg.mean_stride
+    )
+    lab = detector.label_components(fg, cfg.ccl_rounds)
+    fgc = detector.binary_close3(fg)
+    seeded = detector.label_components(
+        fgc, cfg.closed_ccl_rounds, init=lab.reshape(fg.shape)
+    )
+    full = detector.label_components(fgc, 8)  # fixed point reference
+    assert jnp.array_equal(seeded, full)
+
+
 def test_batched_frame_kernel_replay_matches_vmapped():
     """The lanes-trailing batched frame kernel (interpret mode) must
     reproduce the vmapped XLA replay over a full multi-frame sequence at
