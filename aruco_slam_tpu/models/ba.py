@@ -699,7 +699,10 @@ def solve(
     scan boundary costs a measured ~1.5 ms/GN in layout round-trips
     (benchmarks/_gn_structure_probe.py), so the throughput benchmarks
     unroll. Compile time scales with ``iters``; keep the scan (default)
-    for large ``iters`` or when compile latency matters.
+    for large ``iters`` or when compile latency matters. Applies to the
+    NON-adaptive path only: ``adaptive=True`` always uses ``lax.scan``
+    (its accept/reject carry gains nothing from unrolling) and silently
+    ignores ``unroll``.
 
     ``tables`` (:func:`build_tables`): precomputed gather tables that
     replace every segment_sum/scatter in the solver with padded gather-sums

@@ -65,7 +65,19 @@ def matvec_slab_lanegather(v):
     vo = jnp.broadcast_to(v.T[:, :, None], (3, K, O)).reshape(3, N)
     ts = jnp.sum(apl33 * vo[:, None, :], axis=0)
     padded = jnp.concatenate([ts, jnp.zeros((3, 1), ts.dtype)], axis=1)
-    parts = [padded[:, t].sum(axis=-1) for t in tables.lm_bucket_tabs]
+    # two-level tuple entries (round 4+) -> combine chunk partials so the
+    # class output is [n_c] rows and lm_rank indexing stays aligned
+    parts = []
+    for t in tables.lm_bucket_tabs:
+        if isinstance(t, tuple):
+            chunk_tab, comb_tab = t
+            partial = padded[:, chunk_tab].sum(axis=-1)  # [3, n_runs]
+            pp = jnp.concatenate(
+                [partial, jnp.zeros((3, 1), partial.dtype)], axis=1
+            )
+            parts.append(pp[:, comb_tab].sum(axis=-1))
+        else:
+            parts.append(padded[:, t].sum(axis=-1))
     t_lm = jnp.concatenate(parts, axis=1)[:, tables.lm_rank].T  # [L, 3]
     u = (lin["Hll_inv"] @ t_lm[..., None])[..., 0]
     us = u[packed.obs_lm].T

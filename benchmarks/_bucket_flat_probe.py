@@ -2,7 +2,13 @@
 reshape-sums, vs one gather per class (current _seg_sum_lm). If the cost
 is per-launch rather than per-row, folding 5-6 gathers into one wins.
 
-Also times the full gn-step with the flat variant monkey-patched in."""
+Also times the full gn-step with the flat variant monkey-patched in.
+
+NOTE (round 5): predates the two-level (chunk_tab, comb_tab) tuple
+entries build_tables now emits for wide classes at the 10k/5k shape —
+tuple entries are flattened to their chunk_tab below (the probe then
+measures the chunk level only, which carries ~98% of the gathered rows).
+"""
 
 import os
 import sys
@@ -28,10 +34,13 @@ packed, tables, static = ba.prepare(problem)
 L = 5000
 N = packed.obs_kf.shape[0]
 
-# flat form of the bucket tables
-caps = [int(t.shape[1]) for t in tables.lm_bucket_tabs]
-sizes = [int(t.shape[0]) for t in tables.lm_bucket_tabs]
-flat_rows = jnp.concatenate([t.reshape(-1) for t in tables.lm_bucket_tabs])
+# flat form of the bucket tables (two-level tuple entries -> chunk level)
+tabs_flat = [
+    t[0] if isinstance(t, tuple) else t for t in tables.lm_bucket_tabs
+]
+caps = [int(t.shape[1]) for t in tabs_flat]
+sizes = [int(t.shape[0]) for t in tabs_flat]
+flat_rows = jnp.concatenate([t.reshape(-1) for t in tabs_flat])
 print("classes:", list(zip(sizes, caps)), "flat rows:", flat_rows.shape[0],
       flush=True)
 

@@ -109,11 +109,33 @@ def config2_loop_100():
             ]
         )
     )
+    # Pose-graph leg (the formulation BASELINE config 2 names): marker
+    # re-observations as relative-pose closures, landmark-free solve,
+    # landmarks recomposed from the optimized poses. Same warm-wall
+    # protocol.
+    pg = pipeline.ekf_then_pose_graph(seq, cfg)
+    jax.block_until_ready(pg["poses"])
+    t0 = time.time()
+    pg = pipeline.ekf_then_pose_graph(seq, cfg)
+    jax.block_until_ready(pg["poses"])
+    pg_wall = time.time() - t0
+    pg_lms = np.asarray(pg["landmarks"])
+    pg_err = float(
+        np.mean(
+            [
+                np.linalg.norm(pg_lms[s, :2] - id_to_true[int(a)][:2])
+                for s, a in enumerate(pg["landmark_ids"])
+            ]
+        )
+    )
     return {
         "ekf_ate_m": res["ate"],
         "ekf_map_rmse_m": res["map_rmse"],
         "ba_map_err_m": ba_err,
         "ba_wall_s": ba_wall,
+        "pose_graph_map_err_m": pg_err,
+        "pose_graph_wall_s": pg_wall,
+        "pose_graph_n_closures": int(pg["n_closures"]),
         "n_landmarks": res["n_landmarks"],
     }
 

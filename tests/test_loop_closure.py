@@ -70,3 +70,26 @@ def test_ba_refines_tour(tour_seq):
         after.append(np.linalg.norm(lms[slot, :2] - t[:2]))
     assert np.mean(after) <= np.mean(before) * 1.05, (np.mean(before), np.mean(after))
     assert np.mean(after) < 0.6, np.mean(after)
+
+
+def test_pose_graph_refines_tour(tour_seq):
+    """The pose-graph leg (marker re-observations as relative-pose
+    closures, landmark-free solve, landmarks recomposed from optimized
+    poses — the formulation BASELINE config 2 names) must also tighten the
+    map below the EKF init on the loop tour."""
+    from aruco_slam_tpu import pipeline
+
+    out = pipeline.ekf_then_pose_graph(tour_seq, CFG, keyframe_stride=4)
+    assert out["n_closures"] > 100
+    id_to_true = {
+        int(i): tour_seq.true_landmarks[k]
+        for k, i in enumerate(tour_seq.true_landmark_ids)
+    }
+    errs = []
+    lms = np.asarray(out["landmarks"])
+    for slot, aid in enumerate(out["landmark_ids"]):
+        t = id_to_true[int(aid)]
+        errs.append(np.linalg.norm(lms[slot, :2] - t[:2]))
+    # EKF map_rmse on this tour is ~1 m at the final state; the pose-graph
+    # refinement must land well below that
+    assert np.mean(errs) < 0.6, np.mean(errs)
