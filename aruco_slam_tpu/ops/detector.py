@@ -52,6 +52,13 @@ class DetectorConfig:
     mean_stride: int = 4
     # Optional multi-scale sweep (OpenCV sweeps winSize 3..23 step 10):
     # candidates from every radius are decoded together and deduped by id.
+    # Measured round 5 (benchmarks/_radii_sweep_check.py, radii (3,7,11)):
+    # +2 noise_s25 / +1 blur_s1 / +3 blur+noise hits over the shipped
+    # single-radius+closing-union default, but it admits 2 FALSE
+    # detections across the 10-condition sweep (shipped default has zero,
+    # like cv2) and roughly triples the candidate-source cost — so the
+    # sweep stays OFF by default; the machinery is here for callers that
+    # prefer recall over the zero-false-positive guarantee.
     adaptive_radii: tuple = ()  # empty = single adaptive_radius
     adaptive_C: float = 7.0
     # Variable-resolution input: frames whose [H, W] is not an exact
@@ -64,12 +71,12 @@ class DetectorConfig:
     shape_buckets: tuple = ((480, 640), (720, 1280), (1080, 1920))
     # CCL rounds: one 8-neighbor min + 4 directional segmented run-scans
     # each. A label travels one component "turn" per round; marker scenes
-    # converge by 4 (benchmarks/ccl_oracle_probe.py; the parity sweep is
-    # recall-identical at 4 — round 3 re-verified), so the DETECTOR
-    # defaults to 4. General serpentine components (e.g. the scipy-oracle
-    # test's dilated random blobs) need 8 — callers of the
-    # label_components primitive pick their own trip count.
-    ccl_rounds: int = 4
+    # converge by 3 (round 5: the full parity sweep at 3 matches 4 with
+    # zero false detections — marker borders are 1-2 "turns" deep; the
+    # round-3 sweep had verified 4 vs 8). General serpentine components
+    # (e.g. the scipy-oracle test's dilated random blobs) need 8 — callers
+    # of the label_components primitive pick their own trip count.
+    ccl_rounds: int = 3
     # CCL backend: None = auto (Pallas VMEM-resident kernel on TPU for
     # (8,128)-tile-aligned frames, XLA scans otherwise); True/False force.
     use_pallas_ccl: bool | None = None
@@ -90,8 +97,12 @@ class DetectorConfig:
     # Corner extraction samples a [W, W] window per candidate (strided when
     # the component is larger) instead of masking the full image — bounds
     # peak memory to [batch, K, W^2] and lets image-level replay run at
-    # batch 64.
-    corner_window: int = 128
+    # batch 64. Round 5: the chain measured 9.2 us/candidate dominated by
+    # the [W, W] window ops; W=96 is recall-identical to 128 on the parity
+    # sweep (mid-size markers take stride 2, +-1 px quantization the
+    # subpix refine recovers) while W=64 regressed blur_s2/noise_s25 and
+    # admitted false positives.
+    corner_window: int = 96
     # 2x2 samples per cell: recall-identical to 3x3 on the full parity
     # sweep while cutting the decode stage's gather count 2.25x (gathers
     # execute ~serially on TPU).
@@ -161,6 +172,15 @@ class DetectorConfig:
     # condition (benchmarks/_retry_budget_check.py). Overflow slots keep
     # their pass-1 failure.
     retry_budget: int = 4
+    # Closed-source slots that continue into the corner chain: the chain
+    # costs ~9 us/candidate (the dominant union cost), and most closed
+    # candidates duplicate a raw one. A STATS-level pre-dedup (bbox within
+    # subsample quantization AND count within 15%) marks those, then the
+    # survivors — fragment merges change bbox or count by construction —
+    # compact to this many slots by size. 0 = keep the full per-source
+    # budget (no compaction). Recall-identical to the full budget on the
+    # parity sweep + external leg at 8 (round 5).
+    closed_budget: int = 8
     # CCL rounds for the closing-union's SECOND (closed-mask) labeling:
     # it is seeded with the converged raw labels, so the only remaining
     # work is labels crossing the closed bridges and re-flooding the
@@ -939,9 +959,31 @@ def _candidates_at_radius(img: Array, radius: int, cfg: DetectorConfig):
     # under heavy noise loose-valid raw speckle crowded out closed
     # fragment-merges at noise_s25). The quad-level dedup in detect_markers
     # then compacts to one budget before subpix/decode using EXACT validity.
-    (r_roots, r_bbox, r_valid, _), (c_roots, c_bbox, c_valid, _) = (
+    (r_roots, r_bbox, r_valid, r_sv), (c_roots, c_bbox, c_valid, c_sv) = (
         _component_stats_multi([labels, labels_c], [fg, fg_c], cfg)
     )
+    if cfg.closed_budget and cfg.closed_budget < c_roots.shape[0]:
+        # stats-level pre-dedup + compaction (see closed_budget): a closed
+        # candidate whose bbox matches a valid raw candidate within the
+        # subsample quantization AND whose subsampled count is within 15%
+        # is the same component; fragment merges grow the bbox (external
+        # fragment) or the count (internal fragment) past those gates and
+        # survive. Survivors keep their size order.
+        st = cfg.stats_stride
+        bb_near = jnp.max(
+            jnp.abs(c_bbox[:, None, :] - r_bbox[None, :, :]), axis=-1
+        ) <= 2 * st
+        cnt_near = (c_sv[:, None] <= r_sv[None, :] * 1.15 + 2.0) & (
+            c_sv[:, None] >= r_sv[None, :] * 0.85 - 2.0
+        )
+        dup = jnp.any(bb_near & cnt_near & r_valid[None, :], axis=1)
+        c_keep = c_valid & jnp.logical_not(dup)
+        order = jnp.argsort(jnp.where(c_keep, -c_sv, jnp.inf))[
+            : cfg.closed_budget
+        ]
+        c_roots = c_roots[order]
+        c_bbox = c_bbox[order]
+        c_valid = c_keep[order]
     roots = jnp.concatenate([r_roots, c_roots])
     bbox = jnp.concatenate([r_bbox, c_bbox])
     valid = jnp.concatenate([r_valid, c_valid])

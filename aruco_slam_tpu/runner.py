@@ -112,16 +112,19 @@ def _merge_detection_chunks(outs, n: int, h: int, w: int, bh: int, bw: int):
 
 
 def detect_frames(
-    images: Array, det_cfg: DetectorConfig = DetectorConfig(), chunk: int = 32
+    images: Array, det_cfg: DetectorConfig = DetectorConfig(), chunk: int = 16
 ):
     """Batched detection over a stack of frames ``[..., H, W]``.
 
-    Runs OUTSIDE any scan: detection inside ``lax.scan``/``lax.map`` hits an
-    XLA scheduling pathology on TPU (~3000x slower than the identical
-    computation vmapped at top level — see docs/PERFORMANCE.md). Chunked
-    host loop of jitted vmapped calls keeps peak memory bounded; since the
-    bounding-box-window quad extractor (peak [chunk, K, W^2], not
-    [chunk, K, H*W]) chunk 32+ fits easily and amortizes dispatch latency.
+    Chunked host loop of jitted vmapped calls: keeps peak memory bounded
+    (the quad extractor peaks at [chunk, K, W^2]) while dispatches
+    pipeline asynchronously. Chunk 16 is the measured steady-state
+    optimum for the round-5 detector (16/24/32/64 -> 741/700/711/674
+    fps at 1280 frames, benchmarks/_chunk_scale2.py). The round-1
+    detection-inside-scan scheduling pathology is GONE with the current
+    detector (lax.map over chunks measured at host-loop speed, round 5,
+    benchmarks/_lax_map_detect_probe.py) — the host loop is kept because
+    it is equally fast and composes with streaming sources.
 
     Variable-resolution input is edge-padded to shape buckets
     (DetectorConfig.shape_buckets): a resolution change costs at most one
@@ -179,7 +182,7 @@ def detect_frames(
 
 
 def detect_frames_asq(
-    path: str, det_cfg: DetectorConfig = DetectorConfig(), chunk: int = 32
+    path: str, det_cfg: DetectorConfig = DetectorConfig(), chunk: int = 16
 ):
     """Streamed batched detection from a native ``.asq`` container
     (io.native_seqio): the mmap+CRC prefetcher fills frames on background
@@ -227,7 +230,7 @@ def _corner_data_from_detections(data: ReplayData, ids, corners, valid):
 
 
 def _detections_to_corner_data(
-    data: ReplayData, det_cfg: DetectorConfig, det_chunk: int = 32
+    data: ReplayData, det_cfg: DetectorConfig, det_chunk: int = 16
 ) -> ReplayData:
     ids, corners, valid = detect_frames(data.images, det_cfg, det_chunk)
     return _corner_data_from_detections(data, ids, corners, valid)
@@ -288,7 +291,7 @@ def replay(
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
     det_cfg: DetectorConfig = DetectorConfig(),
-    det_chunk: int = 32,
+    det_chunk: int = 16,
 ) -> ReplayResult:
     """Run the full SLAM pipeline over one sequence.
 
@@ -311,7 +314,7 @@ def replay_sequence(
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
     det_cfg: DetectorConfig = DetectorConfig(),
-    det_chunk: int = 32,
+    det_chunk: int = 16,
 ) -> ReplayResult:
     """Replay straight from a :class:`Sequence`: resolves the sequence's
     own camera, and at image level streams ``.asq``-stored frames through
@@ -386,7 +389,7 @@ def replay_batch(
     camera: Optional[CameraIntrinsics] = None,
     level: str = "obs",
     det_cfg: DetectorConfig = DetectorConfig(),
-    det_chunk: int = 32,
+    det_chunk: int = 16,
 ) -> ReplayResult:
     """vmapped multi-sequence replay: every field of ``data`` carries a
     leading batch axis (io.sequence.stack_sequences)."""

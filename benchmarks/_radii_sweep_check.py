@@ -25,6 +25,8 @@ for cond_name, fn in sw.conditions():
     for name, img, ids in sc:
         frames[(cond_name, name)] = fn(img)
 
+import jax.numpy as jnp
+
 variants = [
     ("default(r7+close)", detector.DetectorConfig()),
     (
@@ -36,12 +38,15 @@ variants = [
 ]
 conds = [c for c, _ in sw.conditions()]
 for label, cfg in variants:
+    det_jit = jax.jit(lambda im, c=cfg: detector.detect_markers(im, c))
     row = {}
     for cond_name in conds:
         hits = fo = 0
         for name, img, ids in sc:
-            o = sw.ours_ids(frames[(cond_name, name)], cfg)
+            d = det_jit(jnp.asarray(frames[(cond_name, name)]))
+            o = set(int(i) for i in np.asarray(d.ids)[np.asarray(d.valid)])
             hits += len(o & ids)
             fo += len(o - ids)
         row[cond_name] = (hits, fo)
     print(label, row, flush=True)
+    jax.clear_caches()

