@@ -301,3 +301,46 @@ def test_extract_quads_roots_in_same_stats_cell():
     # one candidate per bar (distinguish by x-range)
     mean_x = np.sort(corners.mean(axis=1)[:, 0])
     assert abs(mean_x[0] - 40.5) < 2.5 and abs(mean_x[1] - 43.5) < 2.5, mean_x
+
+
+def test_second_chance_preserves_pass1_winners():
+    """The budgeted retry decode may only FILL pass-1 misses: on a clean
+    scene (every candidate decodes on pass 1) detections must be
+    bit-identical with the retry on or off."""
+    import dataclasses
+
+    img, _, _, _ = _render_scene()
+    on = detector.detect_markers(
+        jnp.asarray(img), detector.DetectorConfig()
+    )
+    off = detector.detect_markers(
+        jnp.asarray(img),
+        dataclasses.replace(detector.DetectorConfig(), second_chance=False),
+    )
+    np.testing.assert_array_equal(np.asarray(on.ids), np.asarray(off.ids))
+    np.testing.assert_array_equal(
+        np.asarray(on.valid), np.asarray(off.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(on.corners), np.asarray(off.corners)
+    )
+
+
+def test_closed_budget_compaction_preserves_detections():
+    """The stats-level closed-source pre-dedup + 8-slot compaction must
+    not change what is detected on marker scenes (closed candidates that
+    survive it are fragment merges / genuinely new blobs; on a healthy
+    scene every closed candidate duplicates a raw one)."""
+    import dataclasses
+
+    img, _, _, _ = _render_scene()
+    budget = detector.detect_markers(
+        jnp.asarray(img), detector.DetectorConfig()
+    )
+    full = detector.detect_markers(
+        jnp.asarray(img),
+        dataclasses.replace(detector.DetectorConfig(), closed_budget=0),
+    )
+    ids_b = set(np.asarray(budget.ids)[np.asarray(budget.valid)].tolist())
+    ids_f = set(np.asarray(full.ids)[np.asarray(full.valid)].tolist())
+    assert ids_b == ids_f
