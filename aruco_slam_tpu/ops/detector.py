@@ -56,9 +56,10 @@ class DetectorConfig:
     # +2 noise_s25 / +1 blur_s1 / +3 blur+noise hits over the shipped
     # single-radius+closing-union default, but it admits 2 FALSE
     # detections across the 10-condition sweep (shipped default has zero,
-    # like cv2) and roughly triples the candidate-source cost — so the
-    # sweep stays OFF by default; the machinery is here for callers that
-    # prefer recall over the zero-false-positive guarantee.
+    # like cv2) and costs 3.295 vs 1.213 ms/frame saturated (2.7x —
+    # benchmarks/_radii_cost_probe.py) — so the sweep stays OFF by
+    # default; the machinery is here for callers that prefer recall over
+    # the zero-false-positive guarantee.
     adaptive_radii: tuple = ()  # empty = single adaptive_radius
     adaptive_C: float = 7.0
     # Variable-resolution input: frames whose [H, W] is not an exact
