@@ -28,6 +28,7 @@ Everything is jit/vmap-safe with fixed shapes: a frame in, fixed-K
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -836,6 +837,7 @@ def _label_components_dispatch(fg: Array, cfg: DetectorConfig) -> Array:
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu" and h % 8 == 0 and w % 128 == 0
+            and h * w <= _PALLAS_CCL_MAX_PIXELS
         )
     if use_pallas:
         from aruco_slam_tpu.ops.kernels import ccl as ccl_kernel
@@ -861,7 +863,7 @@ def _threshold_and_label(img: Array, radius: int, cfg: DetectorConfig):
     use_pallas = cfg.use_pallas_ccl
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and aligned:
+    if use_pallas and aligned and h * w <= _PALLAS_CCL_MAX_PIXELS:
         from aruco_slam_tpu.ops.kernels import ccl as ccl_kernel
 
         return ccl_kernel.threshold_label_tpu(
@@ -907,6 +909,26 @@ def binary_close3(fg: Array) -> Array:
     return ero
 
 
+# Largest frame (pixels) the VMEM-resident CCL kernels compile for:
+# 1280x720 measured OK on TPU v5e; 1920x1080 fails Mosaic compilation in
+# EVERY variant — fused union, fused single, and bare CCL — the working
+# set (label image + shifted temporaries + threshold fields, each
+# 8.3 MB f32/i32 at 2.07 MP) exceeds VMEM even at a 100 MB limit
+# ("register allocator spill slots", benchmarks/_p1080b_probe.py; a
+# latent crash for 1080p input since round 2, caught on-device round 5).
+# Frames past the ceiling take the XLA scan formulation — slower but
+# shape-unbounded. Override to probe.
+_PALLAS_CCL_MAX_PIXELS = int(
+    os.environ.get("ARUCO_SLAM_PALLAS_CCL_MAX_PIXELS", 1280 * 720)
+)
+# Separate (smaller-or-equal) ceiling for the FUSED union kernel, which
+# holds two label images at once; equal to the single-kernel ceiling at
+# the stock buckets (both 720p-OK / 1080p-fail on v5e).
+_UNION_KERNEL_MAX_PIXELS = int(
+    os.environ.get("ARUCO_SLAM_UNION_KERNEL_MAX_PIXELS", 1280 * 720)
+)
+
+
 def _union_masks_and_labels(img: Array, radius: int, cfg: DetectorConfig):
     """(fg, labels, fg_closed, labels_closed) for the closing-union source:
     ONE Pallas launch on TPU (threshold + 3x3 close + both CCLs, one HBM
@@ -922,13 +944,29 @@ def _union_masks_and_labels(img: Array, radius: int, cfg: DetectorConfig):
     use_pallas = cfg.use_pallas_ccl
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and aligned:
+    if use_pallas and aligned and h * w <= _PALLAS_CCL_MAX_PIXELS:
         from aruco_slam_tpu.ops.kernels import ccl as ccl_kernel
 
-        return ccl_kernel.threshold_label_union_tpu(
-            img, radius, cfg.adaptive_C, stride, cfg.ccl_rounds,
-            cfg.closed_ccl_rounds,
+        # The FUSED union kernel holds both label images + close scratch
+        # in VMEM at once; should a frame size ever fit the single-image
+        # kernel but not the fused one (none of the stock buckets do —
+        # both ceilings measured at 720p-OK/1080p-fail), the staged tier
+        # below covers it: fused raw kernel + XLA 3x3 close + the SEEDED
+        # single-image CCL kernel — same results, one extra fg HBM
+        # round-trip.
+        if h * w <= _UNION_KERNEL_MAX_PIXELS:
+            return ccl_kernel.threshold_label_union_tpu(
+                img, radius, cfg.adaptive_C, stride, cfg.ccl_rounds,
+                cfg.closed_ccl_rounds,
+            )
+        fg, labels = ccl_kernel.threshold_label_tpu(
+            img, radius, cfg.adaptive_C, stride, cfg.ccl_rounds
         )
+        fg_c = binary_close3(fg)
+        labels_c = ccl_kernel.label_components_tpu(
+            fg_c, cfg.closed_ccl_rounds, init=labels.reshape(fg.shape)
+        )
+        return fg, labels, fg_c, labels_c
     fg = adaptive_threshold(img, radius, cfg.adaptive_C, cfg.mean_stride)
     labels = _label_components_dispatch(fg, cfg)
     fg_c = binary_close3(fg)

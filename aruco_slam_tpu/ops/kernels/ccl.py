@@ -204,6 +204,16 @@ def _ccl_kernel(fg_ref, out_ref, *, rounds: int, h: int, w: int):
     out_ref[:] = _ccl_body(fgm, row_ids, col_ids, h, w, rounds)
 
 
+def _ccl_seeded_kernel(fg_ref, init_ref, out_ref, *, rounds: int, h: int,
+                       w: int):
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    fgm = fg_ref[:] > 0
+    out_ref[:] = _ccl_body(
+        fgm, row_ids, col_ids, h, w, rounds, init=init_ref[:]
+    )
+
+
 def _threshold_ccl_kernel(
     img_ref, fg_out, lab_out, *, rounds: int, h: int, w: int,
     radius: int, C: float, stride: int,
@@ -292,10 +302,18 @@ def threshold_label_union_tpu(
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "interpret"))
-def label_components_tpu(fg: Array, rounds: int, interpret: bool = False) -> Array:
+def label_components_tpu(
+    fg: Array, rounds: int, interpret: bool = False, init: Array | None = None
+) -> Array:
     """VMEM-resident CCL for one [H, W] bool mask. Returns flat labels
     [H*W] with the same convention as ``detector.label_components`` (fg
     pixel -> min flat index of its component, bg pixel -> own index).
+
+    ``init`` ([H, W] int32): optional warm-start labels (same semantics
+    as ``detector.label_components(init=...)``) — used by the staged
+    closing-union fallback at frame sizes past the fused union kernel's
+    Mosaic VMEM ceiling (1080p fails to compile the 2-label-image fused
+    form; each single-image kernel fits).
 
     H must be a multiple of 8 and W a multiple of 128 (VPU tiling); the
     camera formats used here (640x480 et al.) already are.
@@ -303,6 +321,19 @@ def label_components_tpu(fg: Array, rounds: int, interpret: bool = False) -> Arr
     h, w = fg.shape
     if h % 8 or w % 128:
         raise ValueError(f"image {h}x{w} not (8,128)-tile aligned")
+    if init is not None:
+        out = pl.pallas_call(
+            functools.partial(_ccl_seeded_kernel, rounds=rounds, h=h, w=w),
+            out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+            interpret=interpret,
+        )(fg.astype(jnp.int32), init.astype(jnp.int32))
+        return out.reshape(-1)
     out = pl.pallas_call(
         functools.partial(_ccl_kernel, rounds=rounds, h=h, w=w),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),

@@ -183,6 +183,27 @@ def test_threshold_ccl_union_megakernel_matches_xla():
         assert jnp.array_equal(labc_k, labc_x), (shape, stride, radius)
 
 
+def test_seeded_single_ccl_kernel_matches_xla():
+    """The seeded single-image CCL kernel (the staged closing-union
+    fallback past the fused kernel's VMEM ceiling) must match the seeded
+    XLA label_components bit-identically."""
+    import numpy as np
+    from aruco_slam_tpu.ops import detector
+    from aruco_slam_tpu.ops.kernels import ccl
+
+    rng = np.random.default_rng(11)
+    fg = jnp.asarray(rng.random((64, 256)) < 0.4)
+    lab = detector.label_components(fg, 4)
+    fgc = detector.binary_close3(fg)
+    ours = ccl.label_components_tpu(
+        fgc, 2, interpret=True, init=lab.reshape(fg.shape)
+    )
+    ref = jax.jit(
+        lambda m, s: detector.label_components(m, 2, init=s)
+    )(fgc, lab.reshape(fg.shape))
+    assert jnp.array_equal(ours, ref)
+
+
 def test_seeded_closed_ccl_converges_on_markers():
     """The seeded 2-round closed labeling must equal the from-scratch
     fixed point on a rendered marker scene (the production case the trip
