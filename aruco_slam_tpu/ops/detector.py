@@ -42,7 +42,14 @@ Array = jax.Array
 
 @dataclass(frozen=True)
 class DetectorConfig:
-    max_candidates: int = 24
+    # Candidate slots per source. 16 (round 5): the chain/subpix/decode
+    # stages scale linearly in slots and 16 measured 1.027 vs 24's
+    # 1.210 ms/frame saturated with net-equal recall (full sweep:
+    # noise_s25 21 -> 20 hits, blur_s3 10 -> 11, rest identical; all 10
+    # conditions still >= cv2 and >= round 4, external leg 14/14, zero
+    # false positives — benchmarks/_k16_cost_probe.py). Raise for scenes
+    # with more than ~16 markers in view at once.
+    max_candidates: int = 16
     adaptive_radius: int = 7  # window = 2r+1 (OpenCV winSize 15 mid-sweep)
     # Windowed mean for the adaptive threshold computed on a
     # mean_stride-block-reduced image and nearest-upsampled: the full-res
@@ -57,8 +64,9 @@ class DetectorConfig:
     # +2 noise_s25 / +1 blur_s1 / +3 blur+noise hits over the shipped
     # single-radius+closing-union default, but it admits 2 FALSE
     # detections across the 10-condition sweep (shipped default has zero,
-    # like cv2) and costs 3.295 vs 1.213 ms/frame saturated (2.7x —
-    # benchmarks/_radii_cost_probe.py) — so the sweep stays OFF by
+    # like cv2) and costs 3.295 vs 1.213 ms/frame saturated (2.7x, at the
+    # 24-slot budget — benchmarks/_radii_cost_probe.py) — so the sweep
+    # stays OFF by
     # default; the machinery is here for callers that prefer recall over
     # the zero-false-positive guarantee.
     adaptive_radii: tuple = ()  # empty = single adaptive_radius
