@@ -144,7 +144,11 @@ def config3_batched(batch=256):
     # Batch 256 = two full 128-lane tiles of the lanes-trailing kernels —
     # the bench.py headline shape (benchmarks/batch_size_sweep.py:
     # 64/96/128/192/256 -> 122k/146k/175k/162k/182k fps/chip). One suite,
-    # one set of shapes (VERDICT r4 weak 4).
+    # one set of shapes (VERDICT r4 weak 4). This leg reads ~4% below
+    # bench.py at the same batch (174.0k vs 181.7k, measured back-to-back
+    # round 5) because it replays 30 s sequences (900 frames/dispatch)
+    # vs bench.py's 60 s (1800): the fixed per-dispatch tunnel cost is
+    # amortized over half as many frames. Same program, same math.
     cfg = SlamConfig(ekf=EkfConfig(max_landmarks=32, max_observations_per_frame=16))
     seqs = [
         synthetic.generate_sequence(
